@@ -1,0 +1,113 @@
+"""Modulated deformable convolution v2 (DCNv2) — TPU-native replacement for
+the reference's C++/CUDA torch extension (models/modules/DCNv2/src/).
+
+The CUDA implementation does offset-guided bilinear im2col
+(dcn_v2_im2col_cuda.cu:25-60) followed by a batched GEMM
+(dcn_v2_cuda.cu:19-40). Here the same math is expressed as an XLA-friendly
+composition: bilinear *gather* at (base grid + offsets) → modulation mask →
+im2col tensor → one einsum with the weights (MXU). Gradients w.r.t. input,
+offsets, mask, weight and bias come from JAX autodiff and match the CUDA
+col2im backward analytically (the sampling weights are bilinear in the
+offsets; out-of-bounds samples contribute zero exactly as the kernel's
+`h > -1 && w > -1` guards do).
+
+Offset/mask channel layout matches the CUDA kernel's addressing
+(dcn_v2_im2col_cuda.cu: data_offset indexed [g, 2*k + {0(y),1(x)}], mask
+[g, k]); the DCN_sep wrapper in models/pcd.py produces offsets with this
+layout from its conv_offset_mask, mirroring dcn_v2.py:127-140.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def dcn_v2(
+    x: jax.Array,
+    offset: jax.Array,
+    mask: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None,
+    kernel_size: int = 3,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    deformable_groups: int = 1,
+) -> jax.Array:
+    """Modulated deformable conv.
+
+    x:      (B, H, W, Cin)       NHWC input
+    offset: (B, Ho, Wo, G*K*K*2) layout (g, k, [y, x]) fastest-last
+    mask:   (B, Ho, Wo, G*K*K)   layout (g, k), already sigmoided
+    weight: (K, K, Cin, Cout)    HWIO
+    bias:   (Cout,) or None
+    Returns (B, Ho, Wo, Cout).
+
+    Only stride=1/padding=k//2 output geometry is exercised by the model but
+    the general formula is implemented.
+    """
+    B, H, W, Cin = x.shape
+    K = kernel_size
+    G = deformable_groups
+    assert Cin % G == 0, "input channels must divide deformable_groups"
+    Ho = (H + 2 * padding - (dilation * (K - 1) + 1)) // stride + 1
+    Wo = (W + 2 * padding - (dilation * (K - 1) + 1)) // stride + 1
+    assert offset.shape == (B, Ho, Wo, G * K * K * 2), offset.shape
+    assert mask.shape == (B, Ho, Wo, G * K * K), mask.shape
+
+    off = offset.reshape(B, Ho, Wo, G, K * K, 2)
+    off_y = off[..., 0]
+    off_x = off[..., 1]
+
+    # base sampling grid: p = out_pos * stride - pad + k * dilation + offset
+    oy = jnp.arange(Ho, dtype=jnp.float32)[:, None] * stride - padding
+    ox = jnp.arange(Wo, dtype=jnp.float32)[:, None] * stride - padding
+    ky = jnp.arange(K, dtype=jnp.float32).repeat(K) * dilation        # (K*K,) row-major k = i*K+j
+    kx = jnp.tile(jnp.arange(K, dtype=jnp.float32) * dilation, K)
+    base_y = (oy + ky[None, :])[None, :, None, None, :]               # (1,Ho,1,1,KK)
+    base_x = (ox + kx[None, :])[None, None, :, None, :]               # (1,1,Wo,1,KK)
+
+    py = base_y + off_y                                               # (B,Ho,Wo,G,KK)
+    px = base_x + off_x
+
+    # bilinear gather with zero padding, per-corner validity like the CUDA
+    # kernel (samples with any coordinate outside (-1, size) are zero; each
+    # corner is additionally bounds-checked).
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    ly = py - y0
+    lx = px - x0
+    iy0 = y0.astype(jnp.int32)
+    ix0 = x0.astype(jnp.int32)
+
+    xg = x.reshape(B, H * W, G, Cin // G)
+
+    def corner(iy, ix, w):
+        valid = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+        idx = jnp.where(valid, jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1), 0)
+        # gather per (B, Ho*Wo*KK, G): index into xg's spatial axis
+        idxf = idx.transpose(0, 3, 1, 2, 4).reshape(B, G, -1)          # (B,G,Ho*Wo*KK)
+        g = jnp.take_along_axis(
+            xg.transpose(0, 2, 1, 3),                                  # (B,G,HW,cg)
+            idxf[..., None], axis=2)                                   # (B,G,Ho*Wo*KK,cg)
+        g = g.reshape(B, G, Ho, Wo, K * K, Cin // G).transpose(0, 2, 3, 1, 4, 5)
+        wmask = (w * valid.astype(w.dtype))[..., None]                 # (B,Ho,Wo,G,KK,1)
+        return g * wmask.astype(g.dtype)
+
+    val = (
+        corner(iy0, ix0, (1 - ly) * (1 - lx))
+        + corner(iy0, ix0 + 1, (1 - ly) * lx)
+        + corner(iy0 + 1, ix0, ly * (1 - lx))
+        + corner(iy0 + 1, ix0 + 1, ly * lx)
+    )                                                                  # (B,Ho,Wo,G,KK,cg)
+
+    val = val * mask.reshape(B, Ho, Wo, G, K * K, 1).astype(val.dtype)
+
+    # contract the im2col tensor with the weights on the MXU.
+    # weight (K,K,Cin,Cout) → (KK, G, cg, Cout); val (B,Ho,Wo,G,KK,cg).
+    w = weight.reshape(K * K, G, Cin // G, weight.shape[-1])
+    out = jnp.einsum("bhwgkc,kgco->bhwo", val, w, preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)

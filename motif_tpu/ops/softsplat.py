@@ -1,0 +1,133 @@
+"""Forward (softmax) splatting — TPU-native replacement for the reference's
+CuPy CUDA kernel trio (models/softsplat_cp.py, softsplat_max_cp.py,
+softsplat_count_cp.py).
+
+Semantics reproduced exactly:
+
+* splat_sum (softsplat_cp.py:12-51): each source pixel p with target
+  position q = p + flow(p) bilinearly scatter-adds input(p) * w_corner into
+  the 4 integer corners around q; out-of-bounds corners are dropped.
+  Gradients w.r.t. BOTH input and flow (softsplat_cp.py:54-157) fall out of
+  JAX autodiff of this formulation analytically identically: the corner
+  indices are floor() (piecewise-constant, zero grad) and the weights are
+  bilinear in flow.
+* splat_max (softsplat_max_cp.py): same addressing, atomicMax instead of
+  add, and the output is initialised to ONES not zeros
+  (softsplat_max_cp.py:254). Call sites detach the result (Ours.py:801,805)
+  so this op is wrapped in stop_gradient.
+* splat_count (softsplat_count_cp.py:14-51): splats a ones tensor with NO
+  bilinear weighting — every in-bounds corner gets +1. Non-differentiable
+  in the reference (backward returns None); stop_gradient here.
+* softmax_splat (FunctionSoftsplat 'softmax' mode, softsplat_cp.py:320-347):
+  splat_sum of [input * exp(z), exp(z)] and returns (splatted, normalizer)
+  WITHOUT normalising (the reference model normalises after merging the two
+  warp directions, Ours.py:810-824).
+
+Layout: NHWC. flow (B, H, W, 2) with (u=x-disp, v=y-disp) in pixels. Source
+and target grids have the same shape (as in the reference kernels).
+
+Implementation: corner-decomposed scatter via jnp .at[].add/.max over a
+flattened spatial axis. XLA lowers this to a single scatter op per
+reduction; a fused Pallas kernel backend can be swapped in via
+`set_backend` once profiled on real hardware.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _corner_data(flow: jax.Array, H: int, W: int):
+    """Return per-corner (flat_idx, weight, valid) lists.
+
+    flow: (B, H, W, 2). Targets: x = ix + u, y = iy + v.
+    """
+    gx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    fx = gx + flow[..., 0].astype(jnp.float32)
+    fy = gy + flow[..., 1].astype(jnp.float32)
+
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    ix1 = ix0 + 1
+    iy1 = iy0 + 1
+
+    wx1 = fx - x0
+    wy1 = fy - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    corners = []
+    for iy, ix, w in (
+        (iy0, ix0, wy0 * wx0),  # northwest
+        (iy0, ix1, wy0 * wx1),  # northeast
+        (iy1, ix0, wy1 * wx0),  # southwest
+        (iy1, ix1, wy1 * wx1),  # southeast
+    ):
+        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+        # clip for safe addressing; invalid lanes are masked to weight 0 and
+        # routed to index 0.
+        idx = jnp.where(valid, jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1), 0)
+        corners.append((idx, w, valid))
+    return corners
+
+
+def splat_sum(values: jax.Array, flow: jax.Array) -> jax.Array:
+    """Bilinear scatter-add forward warp. values (B,H,W,C), flow (B,H,W,2)."""
+    B, H, W, C = values.shape
+    corners = _corner_data(flow, H, W)
+    idx = jnp.stack([c[0] for c in corners], 1).reshape(B, -1)          # (B, 4HW)
+    w = jnp.stack([jnp.where(c[2], c[1], 0.0) for c in corners], 1)     # (B,4,H,W)
+    vals = values[:, None] * w[..., None].astype(values.dtype)          # (B,4,H,W,C)
+    vals = vals.reshape(B, -1, C)
+    out = jnp.zeros((B, H * W, C), dtype=values.dtype)
+    out = out.at[jnp.arange(B)[:, None], idx].add(vals)
+    return out.reshape(B, H, W, C)
+
+
+def splat_max(values: jax.Array, flow: jax.Array) -> jax.Array:
+    """Bilinear scatter-max forward warp, output initialised to ONES.
+
+    Matches softsplat_max_cp.py: out[q] = max(1.0, max_p values(p)*w(p,q)).
+    The reference call sites detach the result, so we stop_gradient.
+    """
+    B, H, W, C = values.shape
+    corners = _corner_data(flow, H, W)
+    idx = jnp.stack([c[0] for c in corners], 1).reshape(B, -1)
+    # invalid contributions must not affect the max: send -inf
+    w = jnp.stack([c[1] for c in corners], 1)
+    valid = jnp.stack([c[2] for c in corners], 1)
+    vals = values[:, None] * w[..., None].astype(values.dtype)
+    vals = jnp.where(valid[..., None], vals, -jnp.inf)
+    vals = vals.reshape(B, -1, C)
+    out = jnp.ones((B, H * W, C), dtype=values.dtype)
+    out = out.at[jnp.arange(B)[:, None], idx].max(vals)
+    return jax.lax.stop_gradient(out.reshape(B, H, W, C))
+
+
+def splat_count(flow: jax.Array) -> jax.Array:
+    """Unweighted corner-hit count (softsplat_count_cp.py): +1 per in-bounds
+    corner per source pixel. Returns (B, H, W, 1). Non-differentiable."""
+    B, H, W, _ = flow.shape
+    corners = _corner_data(flow, H, W)
+    idx = jnp.stack([c[0] for c in corners], 1).reshape(B, -1)
+    ones = jnp.stack([c[2].astype(jnp.float32) for c in corners], 1).reshape(B, -1, 1)
+    out = jnp.zeros((B, H * W, 1), dtype=jnp.float32)
+    out = out.at[jnp.arange(B)[:, None], idx].add(ones)
+    return jax.lax.stop_gradient(out.reshape(B, H, W, 1))
+
+
+def softmax_splat(img: jax.Array, flow: jax.Array, z: jax.Array):
+    """Softmax-mode splat (reference Softsplat module, softsplat_cp.py:349).
+
+    img (B,H,W,C), flow (B,H,W,2), z (B,H,W,1) importance metric.
+    Returns (splatted_img, normalizer) — both UN-normalised, exactly like
+    the reference (the trailing exp(z) channel is returned separately).
+    """
+    ez = jnp.exp(z)
+    stacked = jnp.concatenate([img * ez, ez], axis=-1)
+    out = splat_sum(stacked, flow)
+    return out[..., :-1], out[..., -1:]

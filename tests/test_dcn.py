@@ -1,0 +1,87 @@
+"""Tests for ops/dcn.py vs a direct numpy transcription of the CUDA
+modulated-deformable-im2col semantics (dcn_v2_im2col_cuda.cu)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from motif_tpu.ops.dcn import dcn_v2
+
+
+def _np_dcn(x, offset, mask, weight, bias, K, stride, pad, dil, G):
+    """x (B,H,W,Cin) NHWC; offset (B,Ho,Wo,G*KK*2) (g,k,[y,x]);
+    mask (B,Ho,Wo,G*KK); weight (K,K,Cin,Cout)."""
+    B, H, W, Cin = x.shape
+    Cout = weight.shape[-1]
+    Ho = (H + 2 * pad - (dil * (K - 1) + 1)) // stride + 1
+    Wo = (W + 2 * pad - (dil * (K - 1) + 1)) // stride + 1
+    cg = Cin // G
+    out = np.zeros((B, Ho, Wo, Cout), np.float32)
+
+    def bilinear(img2d, py, px):
+        if py <= -1 or py >= img2d.shape[0] or px <= -1 or px >= img2d.shape[1]:
+            return np.zeros(img2d.shape[-1], np.float32)
+        y0, x0 = int(np.floor(py)), int(np.floor(px))
+        ly, lx = py - y0, px - x0
+        v = np.zeros(img2d.shape[-1], np.float32)
+        for (yy, xx, w) in ((y0, x0, (1 - ly) * (1 - lx)), (y0, x0 + 1, (1 - ly) * lx),
+                            (y0 + 1, x0, ly * (1 - lx)), (y0 + 1, x0 + 1, ly * lx)):
+            if 0 <= yy < img2d.shape[0] and 0 <= xx < img2d.shape[1]:
+                v += img2d[yy, xx] * w
+        return v
+
+    for b in range(B):
+        for ho in range(Ho):
+            for wo in range(Wo):
+                col = np.zeros((K * K, Cin), np.float32)
+                for g in range(G):
+                    for k in range(K * K):
+                        i, j = k // K, k % K
+                        oy = offset[b, ho, wo, (g * K * K + k) * 2 + 0]
+                        ox = offset[b, ho, wo, (g * K * K + k) * 2 + 1]
+                        m = mask[b, ho, wo, g * K * K + k]
+                        py = ho * stride - pad + i * dil + oy
+                        px = wo * stride - pad + j * dil + ox
+                        col[k, g * cg:(g + 1) * cg] = bilinear(
+                            x[b, :, :, g * cg:(g + 1) * cg], py, px) * m
+                out[b, ho, wo] = np.einsum("kc,kco->o", col,
+                                           weight.reshape(K * K, Cin, Cout)) + bias
+    return out
+
+
+def test_dcn_v2_matches_cuda_semantics(rng):
+    B, H, W, Cin, Cout, K, G = 2, 5, 6, 4, 3, 3, 2
+    x = rng.standard_normal((B, H, W, Cin)).astype(np.float32)
+    offset = (rng.standard_normal((B, H, W, G * K * K * 2)) * 1.5).astype(np.float32)
+    mask = rng.random((B, H, W, G * K * K), dtype=np.float32)
+    weight = rng.standard_normal((K, K, Cin, Cout)).astype(np.float32)
+    bias = rng.standard_normal((Cout,)).astype(np.float32)
+
+    want = _np_dcn(x, offset, mask, weight, bias, K, 1, 1, 1, G)
+    got = np.asarray(dcn_v2(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+                            jnp.asarray(weight), jnp.asarray(bias),
+                            kernel_size=K, stride=1, padding=1, dilation=1,
+                            deformable_groups=G))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_dcn_v2_zero_offset_is_plain_conv(rng):
+    """check_zero_offset parity (reference DCNv2/test.py:32-74): zero offsets
+    and mask==1 reduce DCN to an ordinary conv."""
+    import torch
+    import torch.nn.functional as TF
+
+    B, H, W, Cin, Cout, K = 1, 8, 8, 6, 4, 3
+    x = rng.standard_normal((B, H, W, Cin)).astype(np.float32)
+    weight = rng.standard_normal((K, K, Cin, Cout)).astype(np.float32)
+    bias = rng.standard_normal((Cout,)).astype(np.float32)
+    offset = np.zeros((B, H, W, K * K * 2), np.float32)
+    mask = np.ones((B, H, W, K * K), np.float32)
+
+    got = np.asarray(dcn_v2(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+                            jnp.asarray(weight), jnp.asarray(bias),
+                            kernel_size=K, padding=1, deformable_groups=1))
+    want = TF.conv2d(torch.from_numpy(x).permute(0, 3, 1, 2),
+                     torch.from_numpy(weight).permute(3, 2, 0, 1),
+                     torch.from_numpy(bias), padding=1)
+    np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy(), atol=1e-4, rtol=1e-4)
