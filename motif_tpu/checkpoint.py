@@ -1,0 +1,132 @@
+"""Checkpointing: orbax for native checkpoints + a porting bridge from
+reference torch state dicts (best.pth etc., reference base_model.py:79-101).
+
+Porting contract: flax module trees in this package mirror the torch module
+trees, with Sequential/ModuleList numeric indices merged into the preceding
+name ("net.0.linear" → modules "net_0" / "linear"). Torch attribute names
+never consist of digits only, so the rewrite is unambiguous.
+
+Tensor layout conversions:
+ * conv weight (O, I, kH, kW)  → kernel (kH, kW, I, O)
+ * linear weight (O, I)        → kernel (I, O)
+ * conv3d weight               → (kD, kH, kW, I, O)
+ * 1-D bias / scalars          → unchanged
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def torch_key_to_flax_path(key: str) -> tuple[str, ...]:
+    """'a.b.0.linear.weight' → ('a', 'b_0', 'linear', 'kernel')."""
+    parts = key.split(".")
+    out: list[str] = []
+    for p in parts:
+        if p.isdigit() and out:
+            out[-1] = f"{out[-1]}_{p}"
+        else:
+            out.append(p)
+    if out[-1] == "weight":
+        out[-1] = "kernel"
+    return tuple(out)
+
+
+def _convert_tensor(path: tuple[str, ...], t: np.ndarray) -> np.ndarray:
+    if path[-1] == "kernel":
+        if t.ndim == 4:       # conv OIHW → HWIO
+            return np.transpose(t, (2, 3, 1, 0))
+        if t.ndim == 2:       # linear OI → IO
+            return np.transpose(t, (1, 0))
+        if t.ndim == 5:       # conv3d
+            return np.transpose(t, (2, 3, 4, 1, 0))
+    return t
+
+
+def port_torch_state_dict(state_dict: Mapping[str, Any],
+                          strip_prefix: str = "module.",
+                          skip: tuple[str, ...] = ("g_filter",)) -> dict:
+    """Convert a torch state dict (str → tensor/ndarray) into a nested flax
+    params dict. Strips DataParallel 'module.' prefixes and unwraps a
+    'params' key like the reference loader (base_model.py:89-101)."""
+    if "params" in state_dict and not hasattr(state_dict["params"], "shape"):
+        state_dict = state_dict["params"]
+    tree: dict = {}
+    for key, value in state_dict.items():
+        if key.startswith(strip_prefix):
+            key = key[len(strip_prefix):]
+        if any(s in key for s in skip):
+            continue
+        arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
+        path = torch_key_to_flax_path(key)
+        arr = _convert_tensor(path, arr)
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = jnp.asarray(arr)
+    return tree
+
+
+def load_reference_checkpoint(path: str) -> dict:
+    """Load a reference .pth and port it to a flax params tree."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return port_torch_state_dict(sd)
+
+
+def verify_port(params: dict, ported: dict, prefix: str = "") -> list[str]:
+    """Compare a randomly-initialised params tree against a ported tree;
+    return a list of mismatched/missing paths (empty == clean port)."""
+    problems: list[str] = []
+    keys = set(params) | set(ported)
+    for k in sorted(keys):
+        p = f"{prefix}/{k}"
+        if k not in params:
+            problems.append(f"extra in ported: {p}")
+        elif k not in ported:
+            problems.append(f"missing in ported: {p}")
+        elif isinstance(params[k], dict) != isinstance(ported[k], dict):
+            problems.append(f"tree/leaf mismatch: {p}")
+        elif isinstance(params[k], dict):
+            problems.extend(verify_port(params[k], ported[k], p))
+        elif params[k].shape != ported[k].shape:
+            problems.append(f"shape {p}: {params[k].shape} vs {ported[k].shape}")
+    return problems
+
+
+# ---------------------------------------------------------------------------
+# orbax native checkpointing (weights + opt state + step), reference
+# base_model.py:79-123 equivalent
+# ---------------------------------------------------------------------------
+
+def save_train_state(ckpt_dir: str, step: int, state) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state)
+
+
+def restore_train_state(ckpt_dir: str, step: int, target):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, target)
+
+
+def latest_step(ckpt_dir: str) -> int | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(m.group(1)) for d in os.listdir(ckpt_dir)
+             if (m := re.fullmatch(r"step_(\d+)", d))]
+    return max(steps) if steps else None

@@ -1,0 +1,176 @@
+"""RAFT-small optical flow (reference models/core/: raft.py, extractor.py,
+update.py, corr.py), NHWC flax with a lax.scan update loop.
+
+Configuration fixed to MoTIF's usage (Ours.py:417-421): small=True,
+mixed_precision=False → hidden=96, context=64, corr_levels=4, corr_radius=3.
+The reference's AlternateCorrBlock (prebuilt alt_cuda_corr .so) computes the
+same values as the pure CorrBlock; we use the all-pairs einsum + pyramid
+lookup from ops/corr.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from motif_tpu.models.layers import Conv2d, instance_norm, kaiming_normal_fan_out
+from motif_tpu.ops.corr import all_pairs_corr, corr_lookup, corr_pyramid
+from motif_tpu.ops.resize import interpolate_bilinear
+
+
+def _conv(features, k, stride=1, pad=0, name=None):
+    return Conv2d(features, k, stride, pad, kernel_init=kaiming_normal_fan_out(),
+                  name=name)
+
+
+class BottleneckBlock(nn.Module):
+    """extractor.py:60-116 — 1x1 → 3x3(stride) → 1x1 with residual."""
+    planes: int
+    norm_fn: str = "instance"
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        def norm(v):
+            return instance_norm(v) if self.norm_fn == "instance" else v
+
+        y = jax.nn.relu(norm(_conv(self.planes // 4, 1, name="conv1")(x)))
+        y = jax.nn.relu(norm(_conv(self.planes // 4, 3, self.stride, 1, name="conv2")(y)))
+        y = jax.nn.relu(norm(_conv(self.planes, 1, name="conv3")(y)))
+        if self.stride != 1:
+            x = norm(_conv(self.planes, 1, self.stride, name="downsample_0")(x))
+        return jax.nn.relu(x + y)
+
+
+class SmallEncoder(nn.Module):
+    """extractor.py:195-267 — 1/8-resolution feature encoder."""
+    output_dim: int = 128
+    norm_fn: str = "instance"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = _conv(32, 7, 2, 3, name="conv1")(x)
+        if self.norm_fn == "instance":
+            y = instance_norm(y)
+        y = jax.nn.relu(y)
+        for i, (dim, stride) in enumerate([(32, 1), (64, 2), (96, 2)], start=1):
+            y = BottleneckBlock(dim, self.norm_fn, stride, name=f"layer{i}_0")(y)
+            y = BottleneckBlock(dim, self.norm_fn, 1, name=f"layer{i}_1")(y)
+        return _conv(self.output_dim, 1, name="conv2")(y)
+
+
+class ConvGRU(nn.Module):
+    """update.py:16-31."""
+    hidden_dim: int = 96
+
+    @nn.compact
+    def __call__(self, h: jax.Array, x: jax.Array) -> jax.Array:
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = jax.nn.sigmoid(Conv2d(self.hidden_dim, 3, 1, 1, name="convz")(hx))
+        r = jax.nn.sigmoid(Conv2d(self.hidden_dim, 3, 1, 1, name="convr")(hx))
+        q = jnp.tanh(Conv2d(self.hidden_dim, 3, 1, 1, name="convq")(
+            jnp.concatenate([r * h, x], axis=-1)))
+        return (1 - z) * h + z * q
+
+
+class SmallMotionEncoder(nn.Module):
+    """update.py:62-77 (cor_planes = 4 * 7^2 = 196)."""
+
+    @nn.compact
+    def __call__(self, flow: jax.Array, corr: jax.Array) -> jax.Array:
+        cor = jax.nn.relu(Conv2d(96, 1, 1, 0, name="convc1")(corr))
+        flo = jax.nn.relu(Conv2d(64, 7, 1, 3, name="convf1")(flow))
+        flo = jax.nn.relu(Conv2d(32, 3, 1, 1, name="convf2")(flo))
+        out = jax.nn.relu(Conv2d(80, 3, 1, 1, name="conv")(
+            jnp.concatenate([cor, flo], axis=-1)))
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class FlowHead(nn.Module):
+    """update.py:6-14."""
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = jax.nn.relu(Conv2d(self.hidden_dim, 3, 1, 1, name="conv1")(x))
+        return Conv2d(2, 3, 1, 1, name="conv2")(y)
+
+
+class SmallUpdateBlock(nn.Module):
+    """update.py:99-112."""
+    hidden_dim: int = 96
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = SmallMotionEncoder(name="encoder")(flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = ConvGRU(self.hidden_dim, name="gru")(net, x)
+        delta = FlowHead(128, name="flow_head")(net)
+        return net, delta
+
+
+def coords_grid(B: int, H: int, W: int) -> jax.Array:
+    """(B, H, W, 2) pixel coordinate grid, channels (x, y)
+    (models/core/utils/utils.py:74-77)."""
+    gx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :], (H, W))
+    gy = jnp.broadcast_to(jnp.arange(H, dtype=jnp.float32)[:, None], (H, W))
+    g = jnp.stack([gx, gy], axis=-1)
+    return jnp.broadcast_to(g[None], (B, H, W, 2))
+
+
+def upflow8(flow: jax.Array) -> jax.Array:
+    """8x bilinear upsample (align_corners=True) and scale values by 8
+    (utils.py:80-83)."""
+    B, H, W, _ = flow.shape
+    return 8.0 * interpolate_bilinear(flow, (8 * H, 8 * W), align_corners=True)
+
+
+class RAFT(nn.Module):
+    """RAFT-small (raft.py:24-144). __call__ takes images in [0, 255]
+    (the reference rescales internally, raft.py:89-90) and returns the final
+    1/1-resolution flow (the [-1] entry of the reference's prediction list).
+    """
+    hidden_dim: int = 96
+    context_dim: int = 64
+    corr_levels: int = 4
+    corr_radius: int = 3
+
+    @nn.compact
+    def __call__(self, image1: jax.Array, image2: jax.Array, iters: int = 12,
+                 return_all: bool = False):
+        img1 = 2.0 * (image1 / 255.0) - 1.0
+        img2 = 2.0 * (image2 / 255.0) - 1.0
+
+        fnet = SmallEncoder(128, "instance", name="fnet")
+        cnet = SmallEncoder(self.hidden_dim + self.context_dim, "none", name="cnet")
+        update = SmallUpdateBlock(self.hidden_dim, name="update_block")
+
+        B = img1.shape[0]
+        fmaps = fnet(jnp.concatenate([img1, img2], axis=0))
+        fmap1, fmap2 = fmaps[:B], fmaps[B:]
+
+        pyramid = corr_pyramid(all_pairs_corr(fmap1, fmap2), self.corr_levels)
+
+        c = cnet(img1)
+        net = jnp.tanh(c[..., : self.hidden_dim])
+        inp = jax.nn.relu(c[..., self.hidden_dim:])
+
+        H8, W8 = fmap1.shape[1], fmap1.shape[2]
+        coords0 = coords_grid(B, H8, W8)
+        coords1 = coords0
+
+        lowres = []
+        for _ in range(iters):
+            coords1 = jax.lax.stop_gradient(coords1)  # raft.py:123 detach
+            corr = corr_lookup(pyramid, coords1, self.corr_radius)
+            flow = coords1 - coords0
+            net, delta = update(net, inp, corr, flow)
+            coords1 = coords1 + delta
+            if return_all:
+                lowres.append(coords1 - coords0)
+
+        flow_up = upflow8(coords1 - coords0)
+        if return_all:
+            return flow_up, jnp.stack(lowres)
+        return flow_up

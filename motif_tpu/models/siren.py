@@ -1,0 +1,82 @@
+"""SIREN coordinate MLPs (reference models/modules/SIREN.py).
+
+Init semantics reproduced exactly (SIREN.py:35-42,62-67):
+ * first layer weight ~ U(-1/in, 1/in)
+ * hidden layers     ~ U(-sqrt(6/in)/omega0, +sqrt(6/in)/omega0)
+ * outermost linear   same uniform as hidden (when outermost_linear=True)
+ * biases use torch nn.Linear defaults (U(-1/sqrt(in), 1/sqrt(in))) — the
+   reference only overrides weights.
+
+Forward: sin(omega0 * (W x + b)) per SineLayer; evaluated as token matmuls
+(B, tokens, C) that map straight onto the MXU.
+
+Module naming mirrors the torch tree for checkpoint porting: Sequential
+index k becomes submodule "net_k"; SineLayers keep their inner "linear".
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from motif_tpu.models.layers import Linear
+
+
+def _siren_first_init(key, shape, dtype=jnp.float32):
+    fan_in = shape[0]
+    return jax.random.uniform(key, shape, dtype, -1.0 / fan_in, 1.0 / fan_in)
+
+
+def _siren_hidden_init(omega0: float):
+    def init(key, shape, dtype=jnp.float32):
+        bound = np.sqrt(6.0 / shape[0]) / omega0
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class SineLayer(nn.Module):
+    """sin(omega0 * linear(x)) (SIREN.py:14-45)."""
+    features: int
+    is_first: bool = False
+    omega_0: float = 30.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kinit = _siren_first_init if self.is_first else _siren_hidden_init(self.omega_0)
+        x = Linear(self.features, kernel_init=kinit, name="linear")(x)
+        return jnp.sin(self.omega_0 * x)
+
+
+class Siren(nn.Module):
+    """Siren MLP with per-layer hidden sizes (SIREN.py:49-79).
+
+    hidden_layers counts the *intermediate* sine layers, exactly like the
+    reference: layers = [first] + hidden_layers * [sine] + [out].
+    """
+    hidden_features: Sequence[int]
+    hidden_layers: int
+    out_features: int
+    outermost_linear: bool = True
+    first_omega_0: float = 30.0
+    hidden_omega_0: float = 30.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = SineLayer(self.hidden_features[0], is_first=True,
+                      omega_0=self.first_omega_0, name="net_0")(x)
+        for i in range(self.hidden_layers):
+            x = SineLayer(self.hidden_features[i + 1],
+                          omega_0=self.hidden_omega_0, name=f"net_{i + 1}")(x)
+        last = self.hidden_layers + 1
+        if self.outermost_linear:
+            x = Linear(self.out_features,
+                       kernel_init=_siren_hidden_init(self.hidden_omega_0),
+                       name=f"net_{last}")(x)
+        else:
+            x = SineLayer(self.out_features, omega_0=self.hidden_omega_0,
+                          name=f"net_{last}")(x)
+        return x

@@ -1,0 +1,150 @@
+"""Block-level parity tests: flax modules vs torch oracles built in-test,
+with weights ported through motif_tpu.checkpoint (validating both the math
+and the porting bridge)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as TF
+
+import jax
+import jax.numpy as jnp
+
+from motif_tpu import checkpoint
+from motif_tpu.models import layers, siren
+
+
+def _port(module_torch):
+    return checkpoint.port_torch_state_dict(module_torch.state_dict())
+
+
+def test_siren_parity(rng):
+    class TSine(tnn.Module):
+        def __init__(self, i, o):
+            super().__init__()
+            self.linear = tnn.Linear(i, o)
+
+        def forward(self, x):
+            return torch.sin(30.0 * self.linear(x))
+
+    class TSiren(tnn.Module):
+        def __init__(self, in_f, hidden, out_f):
+            super().__init__()
+            net = [TSine(in_f, hidden[0])]
+            for i in range(len(hidden) - 1):
+                net.append(TSine(hidden[i], hidden[i + 1]))
+            net.append(tnn.Linear(hidden[-1], out_f))
+            self.net = tnn.Sequential(*net)
+
+        def forward(self, x):
+            return self.net(x)
+
+    t = TSiren(67, [64, 64, 256], 3)
+    x = rng.standard_normal((2, 11, 67)).astype(np.float32)
+    want = t(torch.from_numpy(x)).detach().numpy()
+
+    m = siren.Siren(hidden_features=[64, 64, 256], hidden_layers=2,
+                    out_features=3, outermost_linear=True)
+    params = _port(t)
+    got = np.asarray(m.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+    # shapes of a fresh init must match the ported tree exactly
+    init = m.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    assert checkpoint.verify_port(init, params) == []
+
+
+def test_residual_block_parity(rng):
+    class TRes(tnn.Module):
+        def __init__(self, nf=16):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv2 = tnn.Conv2d(nf, nf, 3, 1, 1)
+
+        def forward(self, x):
+            return x + self.conv2(TF.relu(self.conv1(x)))
+
+    t = TRes(16)
+    x = rng.standard_normal((2, 16, 7, 9)).astype(np.float32)
+    want = t(torch.from_numpy(x)).detach().numpy().transpose(0, 2, 3, 1)
+
+    m = layers.ResidualBlockNoBN(16)
+    got = np.asarray(m.apply({"params": _port(t)},
+                             jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_lateral_block_parity(rng):
+    class TLateral(tnn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.layers = tnn.Sequential(
+                tnn.Conv2d(dim, dim, 3, 1, 1), tnn.LeakyReLU(0.1),
+                tnn.Conv2d(dim, dim, 3, 1, 1))
+
+        def forward(self, x):
+            return x + self.layers(x)
+
+    t = TLateral(12)
+    x = rng.standard_normal((1, 12, 6, 8)).astype(np.float32)
+    want = t(torch.from_numpy(x)).detach().numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(layers.LateralBlock(12).apply(
+        {"params": _port(t)}, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_convlstm_cell_parity(rng):
+    class TCell(tnn.Module):
+        def __init__(self, cin, ch):
+            super().__init__()
+            self.conv = tnn.Conv2d(cin + ch, 4 * ch, 3, padding=1)
+            self.ch = ch
+
+        def forward(self, x, h, c):
+            g = self.conv(torch.cat([x, h], 1))
+            i, f, o, gg = torch.split(g, self.ch, dim=1)
+            c2 = torch.sigmoid(f) * c + torch.sigmoid(i) * torch.tanh(gg)
+            h2 = torch.sigmoid(o) * torch.tanh(c2)
+            return h2, c2
+
+    t = TCell(8, 8)
+    x = rng.standard_normal((2, 8, 5, 6)).astype(np.float32)
+    h = rng.standard_normal((2, 8, 5, 6)).astype(np.float32)
+    c = rng.standard_normal((2, 8, 5, 6)).astype(np.float32)
+    th, tc = t(torch.from_numpy(x), torch.from_numpy(h), torch.from_numpy(c))
+
+    m = layers.ConvLSTMCell(8)
+    nhwc = lambda a: jnp.asarray(a.transpose(0, 2, 3, 1))
+    gh, gc = m.apply({"params": _port(t)}, nhwc(x), (nhwc(h), nhwc(c)))
+    np.testing.assert_allclose(np.asarray(gh), th.detach().numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gc), tc.detach().numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_grouped_and_reflect_conv_parity(rng):
+    """flow_process uses grouped convs and a reflect-padded conv
+    (Ours.py:494-499)."""
+    t = tnn.Conv2d(14, 16, 3, 1, 1, groups=2)
+    x = rng.standard_normal((2, 14, 6, 7)).astype(np.float32)
+    want = t(torch.from_numpy(x)).detach().numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(layers.Conv2d(16, 3, 1, 1, groups=2).apply(
+        {"params": _port(t)}, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+    t2 = tnn.Conv2d(8, 8, 3, 1, 1, padding_mode="reflect")
+    x2 = rng.standard_normal((1, 8, 6, 7)).astype(np.float32)
+    want2 = t2(torch.from_numpy(x2)).detach().numpy().transpose(0, 2, 3, 1)
+    got2 = np.asarray(layers.Conv2d(8, 3, 1, 1, padding_mode="reflect").apply(
+        {"params": _port(t2)}, jnp.asarray(x2.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got2, want2, atol=1e-5, rtol=1e-4)
+
+
+def test_instance_norm_parity(rng):
+    x = rng.standard_normal((2, 5, 4, 6)).astype(np.float32)
+    want = tnn.InstanceNorm2d(6)(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    got = layers.instance_norm(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got),
+                               want.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5, rtol=1e-4)

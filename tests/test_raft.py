@@ -1,0 +1,61 @@
+"""End-to-end RAFT-small parity: run the REFERENCE torch implementation
+(/root/reference/models/core/raft.py, with the prebuilt alt_cuda_corr
+extension stubbed out so the pure-torch CorrBlock is used — it computes
+identical values, corr.py:8-56) with random weights, port the state dict,
+and compare flows from our flax RAFT."""
+
+import argparse
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from motif_tpu import checkpoint
+from motif_tpu.models.raft import RAFT
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_raft():
+    if not os.path.isdir(REF):
+        pytest.skip("reference repo not mounted")
+    sys.modules.setdefault("alt_cuda_corr", types.ModuleType("alt_cuda_corr"))
+    sys.path.insert(0, REF)
+    try:
+        from models.core.raft import RAFT as TorchRAFT  # type: ignore
+    finally:
+        sys.path.remove(REF)
+    args = argparse.Namespace(small=True, mixed_precision=False,
+                              alternate_corr=False, dropout=0)
+    torch.manual_seed(0)
+    model = TorchRAFT(args)
+    model.eval()
+    return model
+
+
+def test_raft_small_parity(ref_raft, rng):
+    B, H, W = 1, 64, 96  # 1/8 → 8x12, deep enough for the 4-level pyramid
+    img1 = (rng.random((B, 3, H, W), dtype=np.float32) * 255.0)
+    img2 = (rng.random((B, 3, H, W), dtype=np.float32) * 255.0)
+
+    with torch.no_grad():
+        preds = ref_raft(torch.from_numpy(img1), torch.from_numpy(img2), iters=3)
+    want = preds[-1].numpy().transpose(0, 2, 3, 1)
+
+    params = checkpoint.port_torch_state_dict(ref_raft.state_dict())
+    m = RAFT()
+    nhwc = lambda a: jnp.asarray(a.transpose(0, 2, 3, 1))
+    got = np.asarray(m.apply({"params": params}, nhwc(img1), nhwc(img2), iters=3))
+
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+    # init tree must structurally match the ported tree
+    init = m.init(jax.random.PRNGKey(0), nhwc(img1), nhwc(img2), iters=1)["params"]
+    assert checkpoint.verify_port(init, params) == []
