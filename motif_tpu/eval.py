@@ -1,0 +1,138 @@
+"""Evaluation harness — the reference test.py protocol (test.py:155-295):
+zero-pad LQ to /4 multiples, forward in temporal chunks of 3 times
+(VideoSR_base_model.py:188-193), crop to GT size, Y-channel PSNR
+(anchor/inter/center split) + MATLAB SSIM, per-clip .npy dumps."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from motif_tpu.utils import metrics
+
+
+@dataclass
+class EvalResults:
+    psnr: list = field(default_factory=list)
+    psnr_anchor: list = field(default_factory=list)
+    psnr_inter: list = field(default_factory=list)
+    psnr_center: list = field(default_factory=list)
+    ssim: list = field(default_factory=list)
+    psnrs_all: list = field(default_factory=list)
+    ssim_all: list = field(default_factory=list)
+    l1: list = field(default_factory=list)
+
+    def summary(self) -> dict:
+        return {
+            "psnr": float(np.mean(self.psnr)),
+            "psnr_anchor": float(np.mean(self.psnr_anchor)),
+            "psnr_inter": float(np.mean(self.psnr_inter)),
+            "psnr_center": float(np.mean(self.psnr_center)),
+            "ssim": float(np.mean(self.ssim)),
+            "l1": float(np.mean(self.l1)),
+            "n_clips": len(self.psnr),
+        }
+
+
+class Evaluator:
+    """Jit-cached evaluator for MoTIF-style models.
+
+    Caches one compiled forward per (lq_shape, n_times_chunk, out_hw)
+    bucket — the TPU analogue of the reference's implicit cudnn autotune.
+    """
+
+    def __init__(self, model, params, scale: int = 4, iters: int = 4,
+                 chunk: int = 3):
+        self.model = model
+        self.params = params
+        self.scale = scale
+        self.iters = iters
+        self.chunk = chunk
+        self._fns: dict[Any, Any] = {}
+
+    def _forward(self, lq_shape, n_times, out_hw):
+        key = (lq_shape, n_times, out_hw)
+        if key not in self._fns:
+            model, iters = self.model, self.iters
+
+            def fwd(params, lq, times):
+                frames, _, _ = model.apply({"params": params}, lq, times,
+                                           out_hw, use_gt=False, iters=iters)
+                return frames
+
+            self._fns[key] = jax.jit(fwd)
+        return self._fns[key]
+
+    def infer(self, lq: np.ndarray, times: np.ndarray, out_hw) -> np.ndarray:
+        """lq (B, N_in, H, W, 3); times (B, N). Pads LQ to /4, chunks times
+        by `chunk` (padding the last chunk by repetition, then cropping),
+        returns (N, B, H_out, W_out, 3) cropped to out_hw."""
+        B, N_in, h, w, _ = lq.shape
+        s = self.scale
+        h_n = int(np.ceil(h / 4) * 4)   # test.py:171-174 zero-pad to /4
+        w_n = int(np.ceil(w / 4) * 4)
+        lq_p = np.zeros((B, N_in, h_n, w_n, 3), np.float32)
+        lq_p[:, :, :h, :w] = lq
+        HH, WW = h_n * s, w_n * s
+
+        n = times.shape[1]
+        outs = []
+        for start in range(0, n, self.chunk):
+            t = times[:, start:start + self.chunk]
+            pad = self.chunk - t.shape[1] if n > self.chunk else 0
+            if pad:
+                t = np.concatenate([t, np.repeat(t[:, -1:], pad, 1)], 1)
+            fwd = self._forward(lq_p.shape, t.shape[1], (HH, WW))
+            frames = fwd(self.params, jnp.asarray(lq_p), jnp.asarray(t))
+            frames = np.asarray(frames)
+            if pad:
+                frames = frames[: t.shape[1] - pad]
+            outs.append(frames)
+        out = np.concatenate(outs, 0)
+        return out[:, :, : out_hw[0], : out_hw[1]]
+
+    def run(self, loader, save_psnr_dir: str | None = None,
+            log_every: int = 1, logger=None) -> EvalResults:
+        res = EvalResults()
+        for it, batch in enumerate(loader):
+            lq, gt, times = batch["lq"], batch["gt"], batch["times"]
+            B = lq.shape[0]
+            H, W = gt.shape[2], gt.shape[3]
+            fake = self.infer(lq, times, (H, W))          # (N, B, H, W, 3)
+            real = gt[:, 1:-1]                            # (B, N, H, W, 3)
+            n = real.shape[1]
+            fake_bn = fake.transpose(1, 0, 2, 3, 4).reshape(B * n, H, W, 3)
+            real_bn = real.reshape(B * n, H, W, 3)
+
+            res.l1.append(float(np.abs(real_bn - fake_bn).mean()))
+            ry = metrics.rgb_to_y(real_bn)
+            fy = metrics.rgb_to_y(fake_bn)
+            p_a, p_i, p_c, p, per = metrics.eval_psnr_split(ry, fy)
+            res.psnr_anchor.append(p_a)
+            res.psnr_inter.append(p_i)
+            res.psnr_center.append(p_c)
+            res.psnr.append(p)
+            res.psnrs_all.append(per)
+            ssims = [metrics.calculate_ssim(ry[i] * 255.0, fy[i] * 255.0)
+                     for i in range(B * n)]
+            res.ssim.append(float(np.mean(ssims[:-1])))
+            res.ssim_all.append(ssims)
+            if logger and (it % log_every == 0):
+                s = res.summary()
+                logger.info(
+                    f"[{it}] psnr {p:.3f} (avg {s['psnr']:.3f}) "
+                    f"center {p_c:.3f} (avg {s['psnr_center']:.3f}) "
+                    f"ssim avg {s['ssim']:.4f}")
+        if save_psnr_dir:
+            os.makedirs(save_psnr_dir, exist_ok=True)
+            np.save(os.path.join(save_psnr_dir, "psnrs.npy"),
+                    np.asarray(res.psnrs_all, dtype=object), allow_pickle=True)
+            np.save(os.path.join(save_psnr_dir, "ssims.npy"),
+                    np.asarray(res.ssim_all, dtype=object), allow_pickle=True)
+        return res

@@ -1,0 +1,383 @@
+"""MoTIF — continuous space-time video super-resolution (the reference's
+flagship `LunaTokis`, models/modules/Ours.py:412-858), rebuilt TPU-first.
+
+Pipeline (Ours.py:512-858, SURVEY.md §3.3):
+  RAFT flow on the two LR center frames (4 directed pairs, at HR scale)
+  → reliability metrics psi_photo / psi_flow / psi_var ("Z")
+  → ZSM conv encoder (features + center residual)
+  → flow-context encoder (flow_process)
+  → LIIF query: nearest-upsample of [feat | flow_feat | coord | residual]
+    to the HR grid + relative-coordinate conditioning
+  → STINF SIREN (flow_imnet): HR motion (dx, dy) + importance Z per time
+  → SINF SIREN (imnet): HR spatial features
+  → softmax splatting of HR features along predicted (or teacher) motion
+  → SIREN synthesis decoder → RGB.
+
+TPU design notes:
+ * NHWC + static (H, W, HH, WW, N); one jit per size bucket.
+ * The reference's `grid_sample(nearest)` LIIF upsampling over a regular
+   grid is computed as two separable takes (exact same values, no gather).
+ * SIREN evaluations are token matmuls on the MXU; the splat is the
+   corner-scatter op from ops/softsplat.py.
+ * All `setting` flags of the reference are supported (Ours.py:455-459);
+   the released model is setting=5.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from motif_tpu.models.layers import Conv2d, LateralBlock, lrelu
+from motif_tpu.models.raft import RAFT
+from motif_tpu.models.encoder import ZSMEncoder
+from motif_tpu.models.siren import Siren
+from motif_tpu.ops.resize import interpolate_bilinear
+from motif_tpu.ops.softsplat import softmax_splat, splat_count, splat_max
+from motif_tpu.ops.warp import backwarp
+
+
+def make_coord_1d(n: int) -> np.ndarray:
+    """Cell-center coordinates in [-1, 1] (Ours.py:874-889, per axis)."""
+    r = 1.0 / n
+    return (-1.0 + r + 2.0 * r * np.arange(n)).astype(np.float64)
+
+
+def liif_nearest_axis(src: int, dst: int, eps: float = 1e-6):
+    """Nearest-cell index + scaled relative coordinate for one axis of the
+    LIIF query (Ours.py:667-722), computed analytically.
+
+    Reproduces: coord = clamp(make_coord(dst) + eps, -1+1e-6, 1-1e-6);
+    idx = nearest source cell under grid_sample(align_corners=False)
+    (torch rounds half-to-even); rel = (make_coord(dst) - src_center) * src.
+    """
+    hr = make_coord_1d(dst)
+    c = np.clip(hr + eps, -1 + 1e-6, 1 - 1e-6)
+    pix = ((c + 1.0) * src - 1.0) / 2.0
+    idx = np.clip(np.round(pix).astype(np.int64), 0, src - 1)
+    src_center = make_coord_1d(src)[idx]
+    rel = (hr - src_center) * src
+    return idx.astype(np.int32), rel.astype(np.float32)
+
+
+def _gauss_blur_reflect(x: jax.Array) -> jax.Array:
+    """3x3 gaussian ([1,2,1]⊗[1,2,1]/16) with reflect padding — the fixed
+    g_filter conv (Ours.py:443-445, applied :572-577). x: (B, H, W, C)."""
+    k1 = jnp.asarray([0.25, 0.5, 0.25], x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    xh = xp[:, :, :-2] * k1[0] + xp[:, :, 1:-1] * k1[1] + xp[:, :, 2:] * k1[2]
+    return xh[:, :-2] * k1[0] + xh[:, 1:-1] * k1[1] + xh[:, 2:] * k1[2]
+
+
+class MoTIF(nn.Module):
+    """The MoTIF C-STVSR model. Param tree mirrors the reference module
+    names so `best.pth` ports mechanically (checkpoint.py)."""
+    setting: int = 5
+    channel: int = 64
+    groups: int = 1
+    siren: bool = True
+    trans: bool = False
+    res_liff: bool = False
+    local_ensemble: bool = False
+
+    @property
+    def warp_to_many(self) -> bool:
+        return self.setting >= 6
+
+    @property
+    def decoder_Z(self) -> bool:
+        return self.setting >= 5
+
+    @property
+    def predict_Z(self) -> bool:
+        return self.setting >= 4
+
+    @property
+    def input_Z(self) -> bool:
+        return self.setting >= 3
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,                       # (B, N_in, H, W, 3) LR frames
+        target_t: jax.Array,                # (B, N) times in [0, 1]
+        out_hw: tuple[int, int],            # (HH, WW) static
+        use_gt: bool = False,
+        iters: int = 12,
+        target_frames: jax.Array | None = None,  # (B, N+2, HH, WW, 3) train
+        train: bool = False,
+    ):
+        B, N_in, H, W, _ = x.shape
+        HH, WW = out_hw
+        N = target_t.shape[1]
+        G = self.groups
+        ch = self.channel
+        # The released reference model uses groups=1 (Ours.py:449); the G>1
+        # channel-split quirks of Ours.py:783-791 are not reproduced yet.
+        assert G == 1, "MoTIF groups>1 not supported (reference uses 1)"
+
+        raft = RAFT(name="flow_predictor")
+
+        # center two frames (Ours.py:516)
+        c = N_in // 2
+        fr0, fr1 = x[:, c - 1], x[:, c]
+
+        # ---- motion + reliability (no_grad block, Ours.py:519-595) ----
+        hr0 = interpolate_bilinear(fr0, (HH, WW))
+        hr1 = interpolate_bilinear(fr1, (HH, WW))
+        src = jnp.concatenate([hr0, hr0, hr1, hr1], 0)
+        dst = jnp.concatenate([hr0, hr1, hr0, hr1], 0)
+        flow = raft(src * 255.0, dst * 255.0, iters=iters)        # (4B,h8*8,w8*8,2)
+        flow = interpolate_bilinear(flow, (H, W)) * (H / HH)
+        flow = flow.reshape(4, B, H, W, 2)
+        flow = flow.at[0].set(0.0).at[3].set(0.0)
+        flow = flow.reshape(4 * B, H, W, 2)
+
+        # psi_photo (Ours.py:562-563): warp the *target* frame back with the
+        # flow and compare against the source frame.
+        tgt = jnp.concatenate([fr0, fr1, fr0, fr1], 0)
+        srclr = jnp.concatenate([fr0, fr0, fr1, fr1], 0)
+        warped, _ = backwarp(tgt, flow, clip=True)
+        psi_photo = jnp.abs(srclr - warped).mean(-1)
+        # psi_flow (Ours.py:565-571): warp the reverse flow back and compare.
+        f4 = flow.reshape(4, B, H, W, 2)
+        rev = jnp.concatenate([f4[0], f4[2], f4[1], f4[3]], 0)
+        warped_f, _ = backwarp(-rev, flow, clip=True)
+        psi_flow = jnp.abs(flow - warped_f).mean(-1)
+        # psi_var (Ours.py:572-577): local gaussian std of the flow field.
+        sq_mean = _gauss_blur_reflect(flow ** 2)
+        mean_sq = _gauss_blur_reflect(flow)
+        psi_var = jnp.sqrt(jnp.clip(sq_mean - mean_sq ** 2, 1e-9)).mean(-1)
+        psies = jnp.stack([psi_photo, psi_flow / 10.0, psi_var], axis=-1)  # (4B,H,W,3)
+
+        flow = jax.lax.stop_gradient(flow)
+        psies = jax.lax.stop_gradient(psies)
+
+        # teacher flow (train only, Ours.py:586-595): RAFT from each anchor
+        # to each target frame at 128x128, upsampled to HR.
+        if train:
+            assert target_frames is not None
+            tf = target_frames
+            small = interpolate_bilinear(
+                tf.reshape(B * tf.shape[1], HH, WW, 3), (128, 128)
+            ).reshape(B, tf.shape[1], 128, 128, 3)
+            t_fr0, t_fr1 = small[:, 0], small[:, -1]
+            t_frs = small[:, 1:-1]                                  # (B, N, ...)
+            anchors = jnp.concatenate([
+                jnp.repeat(t_fr0[:, None], N, 1).reshape(B * N, 128, 128, 3),
+                jnp.repeat(t_fr1[:, None], N, 1).reshape(B * N, 128, 128, 3),
+            ], 0)
+            targets = jnp.tile(t_frs.reshape(B * N, 128, 128, 3), (2, 1, 1, 1))
+            flow_gt = raft(anchors * 255.0, targets * 255.0, iters=iters)
+            flow_gt = interpolate_bilinear(flow_gt, (HH, WW)) * (HH / 128.0)
+            flow_gt = jax.lax.stop_gradient(flow_gt)                # (2BN,HH,WW,2)
+        else:
+            flow_gt = jnp.zeros((2 * B * N, HH, WW, 2), x.dtype)
+
+        # ---- encoder (Ours.py:601-613) ----
+        feat_t = ZSMEncoder(ch, name="encoder")(jnp.stack([fr0, fr1], 1))  # (B,3,H,W,ch)
+        residual = feat_t[:, feat_t.shape[1] // 2]                          # (B,H,W,ch)
+        feat = jnp.concatenate(
+            [feat_t[:, feat_t.shape[1] // 2 - 1], feat_t[:, feat_t.shape[1] // 2 + 1]], 0
+        )                                                                   # (2B,H,W,ch)
+
+        # ---- flow-context encoder (Ours.py:614-657) ----
+        rsd = np.array([[0.0, 0.0], [0.0, 8.0], [8.0, 0.0], [8.0, 8.0]], np.float32)
+        if not self.trans:
+            # per source frame i: concat over targets j of
+            # [flow_ij/20 (2), psi_ij (3 if input_Z), rsd row (2)] → grouped conv.
+            f22 = (flow / 20.0).reshape(2, 2, B, H, W, 2).transpose(0, 2, 1, 3, 4, 5)
+            p22 = psies.reshape(2, 2, B, H, W, 3).transpose(0, 2, 1, 3, 4, 5)
+            r22 = jnp.broadcast_to(
+                jnp.asarray(rsd.reshape(2, 1, 2, 1, 1, 2) / 8.0),
+                (2, B, 2, H, W, 2)).astype(x.dtype)
+            parts = [f22, p22, r22] if self.input_Z else [f22, r22]
+            ff = jnp.concatenate(parts, axis=-1)                    # (2,B,2,H,W,7|4)
+            ff = ff.reshape(2 * B, 2, H, W, -1).transpose(0, 2, 3, 1, 4)
+            ff = ff.reshape(2 * B, H, W, -1)                        # grouped by j
+            cin = ff.shape[-1]
+            y = Conv2d(ch, 3, 1, 1, groups=2, name="flow_process_0")(ff)
+            y = Conv2d(ch, 3, 1, 1, groups=2, name="flow_process_1")(y)
+            y = lrelu(y)
+            for i in range(3, 8):
+                y = LateralBlock(ch, name=f"flow_process_{i}")(y)
+            y = lrelu(y)
+            flow_feat = Conv2d(ch, 3, 1, 1, padding_mode="reflect",
+                               name="flow_process_9")(y)            # (2B,H,W,ch)
+        else:
+            p_parts = [(flow / 20.0)]
+            if self.input_Z:
+                p_parts.append(psies)
+            p_parts.append(jnp.broadcast_to(
+                jnp.asarray(rsd.reshape(4, 1, 1, 1, 2) / 8.0),
+                (4, B, H, W, 2)).reshape(4 * B, H, W, 2).astype(x.dtype))
+            ff = jnp.concatenate(p_parts, axis=-1)
+            y = Conv2d(ch // 2, 3, 1, 1, name="flow_process_0")(ff)
+            y = Conv2d(ch, 3, 1, 1, name="flow_process_1")(y)
+            y = lrelu(y)
+            for i in range(3, 8):
+                y = LateralBlock(ch, name=f"flow_process_{i}")(y)
+            y = lrelu(y)
+            ffe = Conv2d(ch, 3, 1, 1, padding_mode="reflect", name="flow_process_9")(y)
+            wgt = LateralBlock(ch, name="weight_generator_0")(ffe)
+            wgt = lrelu(wgt)
+            wgt = Conv2d(G, 3, 1, 1, padding_mode="reflect", name="weight_generator_2")(wgt)
+            wgt = wgt.reshape(4, 4, B, H, W, G, 1)
+            ffg = ffe.reshape(4, 4, B, H, W, G, -1)
+            wgt = jax.nn.softmax(wgt, axis=1)
+            flow_feat = (ffg * wgt).sum(1).reshape(4 * B, H, W, -1)
+
+        # ---- LIIF query (Ours.py:659-783) as separable nearest takes ----
+        # unused-but-checkpointed parameters (Ours.py:439-440,509-510)
+        alpha = self.param("alpha", lambda k, s: jnp.full(s, -20.0), (1,))
+        self.param("norm_gamma", nn.initializers.ones, (1, 3, 1))
+        self.param("norm_beta", nn.initializers.zeros, (1, 3, 1))
+        _ = Conv2d(ch, 1, 1, 0, name="shuffle")(jnp.zeros((1, 1, 1, ch), x.dtype))
+
+        flow_imnet = Siren([64, 64, 256], 2, 3 * G, name="flow_imnet")
+        imnet = Siren([64, 64, 256], 2, 64, name="imnet")
+        if self.res_liff:
+            res_imnet = Siren([64, 64, 256], 2, 64, name="res_imnet")
+
+        if self.local_ensemble:
+            shifts = [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+        else:
+            shifts = [(0, 0)]
+
+        t_tokens = jnp.tile(target_t.reshape(B * N, 1, 1, 1), (2, HH, WW, 1))
+
+        preds, areas = [], []
+        for vy, vx in shifts:
+            ey = 1e-6 + vy * (1.0 / H)   # vx*rx with rx = 2/H/2 (Ours.py:674)
+            ex = 1e-6 + vx * (1.0 / W)
+            iy, rel_y = liif_nearest_axis(H, HH, ey)
+            ix, rel_x = liif_nearest_axis(W, WW, ex)
+
+            def up(img):  # nearest LIIF upsample via separable takes
+                return jnp.take(jnp.take(img, iy, axis=1), ix, axis=2)
+
+            rel = jnp.broadcast_to(
+                jnp.stack(jnp.meshgrid(jnp.asarray(rel_y), jnp.asarray(rel_x),
+                                       indexing="ij"), -1)[None],
+                (1, HH, WW, 2)).astype(x.dtype)
+
+            q_feat = up(feat)                                       # (2B,HH,WW,ch)
+            q_flow_feat = up(flow_feat)                             # (2B,HH,WW,ch)
+            q_residual = up(residual)                               # (B,HH,WW,ch)
+
+            # STINF input: [flow_feat | t | rel] (Ours.py:727-730)
+            sti = jnp.concatenate([
+                jnp.repeat(q_flow_feat, N, axis=0)
+                   .reshape(2, B, N, HH, WW, ch).reshape(2 * B * N, HH, WW, ch),
+                t_tokens,
+                jnp.tile(rel, (2 * B * N, 1, 1, 1)),
+            ], axis=-1)
+            # SINF input: [feat | rel] (Ours.py:731-733)
+            si = jnp.concatenate([q_feat, jnp.tile(rel, (2 * B, 1, 1, 1))], -1)
+
+            sti_out = flow_imnet(sti.reshape(2 * B * N, HH * WW, -1))
+            si_out = imnet(si.reshape(2 * B, HH * WW, -1))
+            pred = [si_out.reshape(2 * B, HH, WW, 64),
+                    q_feat,
+                    q_residual,
+                    sti_out.reshape(2 * B * N, HH, WW, 3 * G)]
+            if self.res_liff:
+                ri = jnp.concatenate([q_residual, jnp.tile(rel, (B, 1, 1, 1))], -1)
+                pred.append(res_imnet(ri.reshape(B, HH * WW, -1)).reshape(B, HH, WW, 64))
+                pred = [pred[0], pred[1], pred[4], pred[3], pred[2]]
+            preds.append(pred)
+            areas.append(jnp.abs(rel[..., 0] * rel[..., 1]) + 1e-9)
+
+        tot = sum(areas)
+        if self.local_ensemble:  # diagonal-swap weighting (Ours.py:758-764)
+            areas = [areas[3], areas[2], areas[1], areas[0]]
+        acc = [0.0] * len(preds[0])
+        for pred, area in zip(preds, areas):
+            w = (area / tot)[..., None]
+            for i, p in enumerate(pred):
+                acc[i] = acc[i] + p * w.astype(p.dtype)
+        if self.res_liff:
+            q_feat_o, q_feat_low, q_res_liif, q_flow_o, q_res_low = acc
+            q_residual = jnp.concatenate([q_res_liif, q_res_low], -1)
+        else:
+            q_feat_o, q_feat_low, q_residual, q_flow_o = acc
+
+        # ---- HR flow / z / features (Ours.py:783-797) ----
+        flow_raw = q_flow_o.reshape(2 * B * N * G, HH, WW, 3)
+        feat_hr = jnp.concatenate([
+            jnp.repeat(q_feat_o, N, axis=0)
+               .reshape(2, B, N, HH, WW, 64).reshape(2 * B * N * G, HH, WW, 64),
+            jax.lax.stop_gradient(flow_raw[..., :2]),
+            jnp.repeat(q_feat_low, N, axis=0)
+               .reshape(2, B, N, HH, WW, ch).reshape(2 * B * N * G, HH, WW, ch),
+        ], axis=-1)                                                 # (2BNG,HH,WW,130)
+
+        flow_hr = flow_raw[..., :2] * 20.0 * (HH / H)
+        z = jax.nn.relu(flow_raw[..., 2:3]) * alpha
+        if not self.predict_Z:
+            z = jnp.zeros_like(z)
+
+        # ---- splat (Ours.py:799-806) ----
+        if use_gt:
+            splat_flow = jnp.repeat(flow_gt, G, axis=0).reshape(2 * B * N * G, HH, WW, 2)
+        else:
+            splat_flow = flow_hr
+        output, warped_z = softmax_splat(feat_hr, splat_flow, z)
+        z_max = splat_max(jnp.exp(z), splat_flow)
+        count = splat_count(splat_flow)
+
+        # ---- merge directions + extras (Ours.py:810-836) ----
+        Cf = output.shape[-1]
+        if not self.warp_to_many:
+            output = output.reshape(2, B * N * G, HH, WW, Cf).sum(0)
+            warped_z = warped_z.reshape(2, B * N * G, HH, WW, 1).sum(0)
+            warped_z = jnp.where(warped_z == 0.0, 1.0, warped_z)
+            output = output / warped_z
+            z_max = z_max.reshape(2, B * N * G, HH, WW, 1).max(0)
+            count = count.reshape(2, B * N * G, HH, WW, 1).sum(0)
+        else:
+            warped_z = jnp.where(warped_z == 0.0, 1.0, warped_z)
+            output = output / warped_z
+
+        count_safe = jnp.where(count == 0.0, 1.0, count)
+        warped_z_masked = jnp.where(warped_z == 1.0, 0.0, warped_z)
+        if self.decoder_Z:
+            extra = jnp.concatenate([z_max, count / 16.0, warped_z_masked / count_safe], -1)
+        else:
+            extra = jnp.concatenate([count / 16.0, warped_z_masked / count_safe], -1)
+
+        # ---- synthesis (Ours.py:838-856) ----
+        res_rep = jnp.repeat(q_residual, N, axis=0).reshape(B * N, HH, WW, -1)
+        tmap = target_t.reshape(B * N, 1, 1, 1) * jnp.ones((1, HH, WW, 1), x.dtype)
+        if not self.warp_to_many:
+            synth_in = jnp.concatenate([
+                output.reshape(B * N, HH, WW, -1),
+                extra.reshape(B * N, HH, WW, -1),
+                res_rep, tmap], -1)
+        else:
+            synth_in = jnp.concatenate([
+                output.reshape(2, B * N, HH, WW, -1).transpose(1, 0, 2, 3, 4)
+                      .reshape(B * N, HH, WW, -1),
+                extra.reshape(2, B * N, HH, WW, -1).transpose(1, 0, 2, 3, 4)
+                      .reshape(B * N, HH, WW, -1),
+                res_rep, tmap], -1)
+
+        if self.siren:
+            synth = Siren([64, 64, 64, 256], 3, 3, name="synth_net")
+            out = synth(synth_in.reshape(B * N, HH * WW, -1)).reshape(B * N, HH, WW, 3)
+        else:
+            y = Conv2d(ch * 2, 3, 1, 1, name="synth_net_0")(synth_in)
+            y = Conv2d(ch * 2, 3, 1, 1, name="synth_net_1")(y)
+            y = Conv2d(ch, 3, 1, 1, name="synth_net_2")(y)
+            y = lrelu(y)
+            for i in range(4, 9):
+                y = LateralBlock(ch, name=f"synth_net_{i}")(y)
+            y = lrelu(y)
+            out = Conv2d(3, 3, 1, 1, padding_mode="reflect", name="synth_net_10")(y)
+
+        frames = jnp.clip(out.reshape(B, N, HH, WW, 3), 0.0, 1.0).transpose(1, 0, 2, 3, 4)
+        flow_norm = flow_hr / 20.0 / (HH / H)
+        flow_gt_norm = flow_gt / 20.0 / (HH / H)
+        return frames, flow_norm, flow_gt_norm

@@ -43,6 +43,11 @@ def all_pairs_corr(fmap1: jax.Array, fmap2: jax.Array) -> jax.Array:
 
 def corr_pyramid(corr: jax.Array, num_levels: int = 4) -> list[jax.Array]:
     """Average-pool pyramid over the target dims (corr.py:20-23)."""
+    min_dim = min(corr.shape[1], corr.shape[2])
+    assert min_dim >= 2 ** (num_levels - 1), (
+        f"correlation map {corr.shape[1]}x{corr.shape[2]} too small for a "
+        f"{num_levels}-level pyramid (the reference errors here too); "
+        f"use inputs of at least {8 * 2 ** (num_levels - 1)} px per side")
     pyr = [corr]
     for _ in range(num_levels - 1):
         corr = avg_pool2d(corr, 2, 2)

@@ -68,6 +68,14 @@ def grid_sample(
     x = _unnormalize(grid[..., 0].astype(jnp.float32), W, align_corners)
     y = _unnormalize(grid[..., 1].astype(jnp.float32), H, align_corners)
 
+    # torch's corner-wise bounds check silently skips non-finite coords
+    # (they arise e.g. in RAFT's 1x1 pyramid level where bilinear_sampler
+    # divides by size-1 = 0); with mask-by-multiply, inf would poison the
+    # output as NaN*0 — route non-finite coords far out of bounds instead.
+    finite = jnp.isfinite(x) & jnp.isfinite(y)
+    x = jnp.where(finite, x, -1e9)
+    y = jnp.where(finite, y, -1e9)
+
     if padding_mode == "border":
         x = jnp.clip(x, 0.0, W - 1)
         y = jnp.clip(y, 0.0, H - 1)

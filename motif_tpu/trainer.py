@@ -1,0 +1,167 @@
+"""Training-state layer (reference models/VideoSR_base_model.py +
+base_model.py), TPU-native: one jitted, mesh-sharded train step.
+
+Reproduces the reference training semantics exactly
+(VideoSR_base_model.py:127-158):
+ * teacher-forcing draw: use_GT ~ Bernoulli(max(0, 1 - step/150k)) drawn on
+   host per step (two compiled variants, use_gt True/False),
+ * pixel loss: sum-reduced criterion per target time against GT[:, 1:-1],
+   scaled by (4 / spatial_scale)^2,
+ * flow distillation: + 0.1 * cb(flow, flow_GT) * max(0, 1-(step%150k)/150k),
+ * Adam(lr schedule, betas, weight decay) over all params.
+"""
+
+from __future__ import annotations
+
+import functools
+import random
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from motif_tpu import losses, schedules
+from motif_tpu.parallel import make_mesh, replicate, shard_batch
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+@dataclass
+class TrainerConfig:
+    lr: float = 4e-4
+    beta1: float = 0.9
+    beta2: float = 0.99
+    weight_decay: float = 0.0
+    pixel_criterion: str = "cb"
+    pixel_weight: float = 1.0
+    lr_scheme: str = "CosineAnnealingLR_Restart"
+    t_period: tuple = (150000, 150000, 150000, 150000)
+    restarts: tuple = (150000, 300000, 450000)
+    restart_weights: tuple = (1, 1, 1)
+    eta_min: float = 1e-7
+    lr_steps: tuple = ()
+    lr_gamma: float = 0.5
+    teacher_forcing_steps: int = 150000
+    flow_loss_weight: float = 0.1
+    warmup_iter: int = -1
+
+
+def make_schedule(cfg: TrainerConfig) -> Callable:
+    if cfg.lr_scheme == "CosineAnnealingLR_Restart":
+        base = schedules.cosine_annealing_restart(
+            cfg.lr, cfg.t_period, list(cfg.restarts), list(cfg.restart_weights),
+            cfg.eta_min)
+    else:
+        base = schedules.multistep_restart(cfg.lr, list(cfg.lr_steps), cfg.lr_gamma,
+                                           list(cfg.restarts), list(cfg.restart_weights))
+    if cfg.warmup_iter > 0:
+        # base_model.py:51-63 linear warmup overrides the schedule early on
+        def sched(step):
+            lr = base(step)
+            warm = cfg.lr * jnp.minimum(jnp.asarray(step, jnp.float32) / cfg.warmup_iter, 1.0)
+            return jnp.where(jnp.asarray(step) < cfg.warmup_iter, warm, lr)
+        return sched
+    return base
+
+
+def make_optimizer(cfg: TrainerConfig):
+    sched = make_schedule(cfg)
+    tx = optax.adamw(sched, b1=cfg.beta1, b2=cfg.beta2,
+                     weight_decay=cfg.weight_decay) if cfg.weight_decay else \
+        optax.adam(sched, b1=cfg.beta1, b2=cfg.beta2)
+    return tx, sched
+
+
+class Trainer:
+    """Wraps a model (MoTIF-style signature) with sharded train/eval steps.
+
+    batch dict: {'lq': (B, N_in, H, W, 3), 'gt': (B, N+2, HH, WW, 3),
+                 'times': (B, N)}. GT includes the two anchor frames at
+    [0] and [-1] (used for teacher flow), loss is on gt[:, 1:-1]
+    (VideoSR_base_model.py:142).
+    """
+
+    def __init__(self, model, cfg: TrainerConfig, out_hw, iters: int = 12,
+                 mesh=None, flow_loss: bool = True, seed: int = 0):
+        self.model = model
+        self.cfg = cfg
+        self.out_hw = tuple(out_hw)
+        self.iters = iters
+        self.mesh = mesh or make_mesh()
+        self.flow_loss = flow_loss
+        self.tx, self.schedule = make_optimizer(cfg)
+        self._rng = random.Random(seed)
+        self._steps = {}
+
+    def init_state(self, rng, sample_batch) -> TrainState:
+        params = self.model.init(
+            rng, sample_batch["lq"][:1], sample_batch["times"][:1], self.out_hw,
+            use_gt=True, iters=self.iters,
+            target_frames=sample_batch["gt"][:1], train=True)["params"]
+        opt_state = self.tx.init(params)
+        state = TrainState(params=params, opt_state=opt_state,
+                           step=jnp.zeros((), jnp.int32))
+        return jax.device_put(state, replicate(self.mesh))
+
+    def _build_step(self, use_gt: bool):
+        cfg = self.cfg
+        criterion = losses.PIXEL_CRITERIA[cfg.pixel_criterion]
+        model, out_hw, iters, flow_loss = self.model, self.out_hw, self.iters, self.flow_loss
+
+        def loss_fn(params, batch, step):
+            frames, flow, flow_gt = model.apply(
+                {"params": params}, batch["lq"], batch["times"], out_hw,
+                use_gt=use_gt, iters=iters, target_frames=batch["gt"], train=True)
+            gt = batch["gt"][:, 1:-1]                       # (B, N, HH, WW, 3)
+            n = frames.shape[0]
+            l_pix = 0.0
+            for idx in range(n):                            # per-time sum loss
+                l_pix = l_pix + cfg.pixel_weight * criterion(frames[idx], gt[:, idx])
+            scale = out_hw[1] / batch["lq"].shape[3]        # W ratio (test.py parity)
+            l_pix = l_pix * (4.0 / scale) ** 2
+            total = l_pix
+            aux = {"l_pix": l_pix}
+            if flow_loss:
+                fl = losses.charbonnier(flow, flow_gt)
+                ratio = jnp.maximum(
+                    0.0, 1.0 - (jnp.asarray(step, jnp.float32) %
+                                cfg.teacher_forcing_steps) / cfg.teacher_forcing_steps)
+                total = total + cfg.flow_loss_weight * fl * ratio
+                aux["flow_l"] = fl
+            return total, aux
+
+        def train_step(state: TrainState, batch):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, state.step)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   step=state.step + 1)
+            aux = dict(aux, loss=loss, lr=self.schedule(state.step))
+            return new_state, aux
+
+        return jax.jit(
+            train_step,
+            in_shardings=(replicate(self.mesh), shard_batch(self.mesh)),
+            out_shardings=(replicate(self.mesh), replicate(self.mesh)),
+            donate_argnums=(0,),
+        )
+
+    def step(self, state: TrainState, batch):
+        """One optimizer step with the reference's host-side teacher-forcing
+        draw (VideoSR_base_model.py:128-129)."""
+        step_i = int(state.step)
+        ratio = max(0.0, 1.0 - step_i / self.cfg.teacher_forcing_steps)
+        use_gt = self._rng.random() < ratio
+        if use_gt not in self._steps:
+            self._steps[use_gt] = self._build_step(use_gt)
+        new_state, aux = self._steps[use_gt](state, batch)
+        aux["use_gt"] = use_gt
+        return new_state, aux

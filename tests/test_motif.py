@@ -1,0 +1,106 @@
+"""Smoke + invariant tests for the full MoTIF model (setting=5)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from motif_tpu.models.motif import MoTIF, liif_nearest_axis, make_coord_1d
+
+
+def test_liif_nearest_matches_torch_grid_sample(rng):
+    """The separable LIIF nearest upsample must equal
+    grid_sample(nearest, align_corners=False) at shifted cell centers."""
+    import torch
+    import torch.nn.functional as F
+
+    H, W, HH, WW = 6, 7, 19, 23
+    img = rng.standard_normal((1, 4, H, W)).astype(np.float32)
+
+    ys = make_coord_1d(HH) + 1e-6
+    xs = make_coord_1d(WW) + 1e-6
+    gy, gx = np.meshgrid(np.clip(ys, -1 + 1e-6, 1 - 1e-6),
+                         np.clip(xs, -1 + 1e-6, 1 - 1e-6), indexing="ij")
+    grid = torch.from_numpy(np.stack([gx, gy], -1).astype(np.float32))[None]
+    want = F.grid_sample(torch.from_numpy(img), grid, mode="nearest",
+                         align_corners=False).numpy()
+
+    iy, _ = liif_nearest_axis(H, HH)
+    ix, _ = liif_nearest_axis(W, WW)
+    got = img[:, :, iy][:, :, :, ix]
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def tiny_motif():
+    model = MoTIF(setting=5)
+    B, N_in, H, W = 1, 4, 16, 16
+    HH, WW = 64, 64  # HR/8 must survive RAFT's 4-level corr pyramid
+    x = jnp.asarray(np.random.default_rng(1).random((B, N_in, H, W, 3), dtype=np.float32))
+    tt = jnp.asarray([[0.5, 1.0]], dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, tt, (HH, WW), iters=2)["params"]
+    return model, params, x, tt, (HH, WW)
+
+
+def test_motif_forward_shapes(tiny_motif):
+    model, params, x, tt, out_hw = tiny_motif
+    frames, flow, flow_gt = model.apply({"params": params}, x, tt, out_hw, iters=2)
+    N, B = tt.shape[1], x.shape[0]
+    assert frames.shape == (N, B, out_hw[0], out_hw[1], 3)
+    assert flow.shape == (2 * B * N, out_hw[0], out_hw[1], 2)
+    assert np.all(np.isfinite(np.asarray(frames)))
+    assert frames.min() >= 0.0 and frames.max() <= 1.0
+
+
+def test_motif_jit_and_train_path(tiny_motif):
+    model, params, x, tt, out_hw = tiny_motif
+    B, N = x.shape[0], tt.shape[1]
+    tf = jnp.asarray(np.random.default_rng(2).random(
+        (B, N + 2, out_hw[0], out_hw[1], 3), dtype=np.float32))
+
+    @jax.jit
+    def fwd(p, x, tt, tf):
+        return model.apply({"params": p}, x, tt, out_hw, use_gt=True, iters=2,
+                           target_frames=tf, train=True)
+
+    frames, flow, flow_gt = fwd(params, x, tt, tf)
+    assert frames.shape == (N, B, out_hw[0], out_hw[1], 3)
+    assert np.all(np.isfinite(np.asarray(flow_gt)))
+
+
+def test_motif_param_tree_names(tiny_motif):
+    """Spot-check that the param tree mirrors reference module names so
+    best.pth ports mechanically."""
+    _, params, *_ = tiny_motif
+    assert "flow_predictor" in params and "fnet" in params["flow_predictor"]
+    assert "encoder" in params and "conv_first" in params["encoder"]
+    assert "recon_trunk_39" in params["encoder"]
+    assert "flow_imnet" in params and "net_0" in params["flow_imnet"]
+    assert "synth_net" in params and "net_4" in params["synth_net"]
+    assert "flow_process_9" in params
+    assert "alpha" in params and params["alpha"].shape == (1,)
+    pcd = params["encoder"]["pcd_align"]
+    assert "L3_dcnpack_1" in pcd and "conv_offset_mask" in pcd["L3_dcnpack_1"]
+    lstm = params["encoder"]["ConvBLSTM"]["forward_net"]
+    assert "cell_list_0" in lstm and "pcd_h" in lstm
+
+
+def test_motif_gradients_flow(tiny_motif):
+    """Charbonnier-style loss must produce finite, nonzero grads for the
+    trainable trunk (encoder / sirens / flow_process / alpha)."""
+    model, params, x, tt, out_hw = tiny_motif
+    gt = jnp.asarray(np.random.default_rng(3).random(
+        (tt.shape[1], x.shape[0], out_hw[0], out_hw[1], 3), dtype=np.float32))
+
+    def loss_fn(p):
+        frames, _, _ = model.apply({"params": p}, x, tt, out_hw, iters=2)
+        return jnp.sum(jnp.sqrt((frames - gt) ** 2 + 1e-12))
+
+    grads = jax.grad(loss_fn)(params)
+    for key in ["encoder", "imnet", "flow_imnet", "synth_net"]:
+        leaves = jax.tree_util.tree_leaves(grads[key])
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves), key
+        total = sum(float(jnp.abs(l).sum()) for l in leaves)
+        assert total > 0.0, f"zero grads in {key}"
+    assert float(jnp.abs(grads["alpha"]).sum()) > 0.0

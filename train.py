@@ -1,0 +1,104 @@
+"""Training CLI — the reference train.py equivalent, yml-driven.
+
+Usage: python train.py -opt configs/train_Ours_vimeo.yml
+
+Replaces torch DDP launch with a single-controller JAX mesh: all local
+devices form the 'data' axis; multihost runs shard the file list by
+jax.process_index() (motif_tpu/parallel/mesh.py).
+"""
+
+import argparse
+import logging
+import math
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", type=str, required=True, help="Path to YAML config.")
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="Override train.niter (smoke runs).")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from motif_tpu.utils import config as cfg
+    from motif_tpu.data import create_dataset, BatchLoader, device_prefetch
+    from motif_tpu.models.motif import MoTIF
+    from motif_tpu.parallel import make_mesh, shard_batch, host_shard_indices
+    from motif_tpu.trainer import Trainer
+    from motif_tpu import checkpoint
+
+    opt = cfg.parse(args.opt, is_train=True)
+    os.makedirs(opt["path"]["experiments_root"] or "experiments", exist_ok=True)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s: %(message)s")
+    logger = logging.getLogger("base")
+
+    seed = (opt.get("train") or {}).get("manual_seed") or 0
+    np.random.seed(seed)
+
+    dataset_opt = opt["datasets"]["train"]
+    dataset = create_dataset(dataset_opt)
+    batch_size = int(dataset_opt.get("batch_size") or 1)
+    loader = BatchLoader(dataset, batch_size=batch_size, shuffle=True,
+                         seed=seed, epoch_ratio=int(opt.get("dataset_ratio") or 200))
+
+    net_opt = opt["network_G"]
+    assert "Ours" in (net_opt.get("which_model_G") or "Ours"), \
+        "train.py currently drives the MoTIF ('Ours') family"
+    model = MoTIF(setting=int(net_opt.get("setting") or 5))
+
+    scale = int(opt.get("scale") or 4)
+    gt_size = int(dataset_opt.get("GT_size") or 128)
+    out_hw = (gt_size, gt_size)
+
+    mesh = make_mesh()
+    trainer = Trainer(model, cfg.trainer_config_from_opt(opt), out_hw,
+                      iters=int(net_opt.get("iters") or 12), mesh=mesh, seed=seed)
+
+    sample = next(iter(loader.epoch(0)))
+    state = trainer.init_state(jax.random.PRNGKey(seed), sample)
+    logger.info("model initialised: %d params",
+                sum(p.size for p in jax.tree_util.tree_leaves(state.params)))
+
+    ckpt_dir = opt["path"]["models"] or "experiments/models"
+    start = checkpoint.latest_step(ckpt_dir)
+    if start:
+        state = checkpoint.restore_train_state(ckpt_dir, start, state)
+        logger.info("resumed from step %d", start)
+
+    niter = args.max_steps or int(opt["train"]["niter"])
+    save_freq = int((opt.get("logger") or {}).get("save_checkpoint_freq") or 5000)
+    print_freq = int((opt.get("logger") or {}).get("print_freq") or 100)
+
+    step = int(state.step)
+    epoch = 0
+    t0 = time.time()
+    while step < niter:
+        for batch in device_prefetch(loader.epoch(epoch), shard_batch(mesh)):
+            if step >= niter:
+                break
+            state, aux = trainer.step(state, batch)
+            step = int(state.step)
+            if step % print_freq == 0:
+                logger.info("step %d/%d loss %.4f l_pix %.4f lr %.2e use_gt %s (%.2f s/it)",
+                            step, niter, float(aux["loss"]), float(aux["l_pix"]),
+                            float(aux["lr"]), aux["use_gt"],
+                            (time.time() - t0) / max(1, print_freq))
+                t0 = time.time()
+            if step % save_freq == 0 and jax.process_index() == 0:
+                checkpoint.save_train_state(ckpt_dir, step, state)
+                logger.info("saved checkpoint at step %d", step)
+        epoch += 1
+    if jax.process_index() == 0:
+        checkpoint.save_train_state(ckpt_dir, step, state)
+        logger.info("training done at step %d", step)
+
+
+if __name__ == "__main__":
+    main()
