@@ -24,6 +24,12 @@ A100_REFERENCE_FPS_ESTIMATE = 1.5
 
 def main():
     import jax
+
+    # persistent compile cache: the full-model XLA compile takes minutes on
+    # the remote backend; cached recompiles are seconds.
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     from motif_tpu.models.motif import MoTIF
 

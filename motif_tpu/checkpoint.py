@@ -38,8 +38,15 @@ def torch_key_to_flax_path(key: str) -> tuple[str, ...]:
     return tuple(out)
 
 
+# torch ConvTranspose2d stores weights (in, out, kh, kw); the only
+# transposed convs in the reference are PWC-Net's up-samplers.
+TRANSPOSED_CONV_NAMES = ("moduleUpflow", "moduleUpfeat")
+
+
 def _convert_tensor(path: tuple[str, ...], t: np.ndarray) -> np.ndarray:
     if path[-1] == "kernel":
+        if t.ndim == 4 and any(n in path for n in TRANSPOSED_CONV_NAMES):
+            return np.transpose(t, (2, 3, 0, 1))  # (in,out,kh,kw) → HWIO
         if t.ndim == 4:       # conv OIHW → HWIO
             return np.transpose(t, (2, 3, 1, 0))
         if t.ndim == 2:       # linear OI → IO

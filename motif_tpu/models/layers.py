@@ -188,6 +188,39 @@ class ConvLSTMCell(nn.Module):
         return h_next, c_next
 
 
+class ConvTranspose2d(nn.Module):
+    """torch nn.ConvTranspose2d equivalent (kernel stored HWIO like Conv2d;
+    ported from torch's (in, out, kh, kw) by checkpoint.py's 4-D transpose
+    then flipped here). Output size = (H-1)*stride - 2*padding + kernel."""
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, s, p = self.kernel_size, self.stride, self.padding
+        cin = x.shape[-1]
+
+        def kinit(key, shape, dtype=jnp.float32):
+            # torch default: U(-1/sqrt(fan_in), ..) with fan_in = Cout*k*k
+            bound = 1.0 / np.sqrt(self.features * k * k)
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        kernel = self.param("kernel", kinit, (k, k, cin, self.features))
+        # transposed conv = dilated-input conv with flipped kernel
+        y = jax.lax.conv_general_dilated(
+            x, jnp.flip(kernel, (0, 1)).astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((k - 1 - p, k - 1 - p), (k - 1 - p, k - 1 - p)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        bias = self.param("bias", bias_default_init(self.features * k * k),
+                          (self.features,))
+        return y + bias.astype(y.dtype)
+
+
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """torch nn.InstanceNorm2d(affine=False, track_running_stats=False):
     per-sample per-channel normalization over spatial dims, biased var."""

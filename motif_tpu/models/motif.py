@@ -35,7 +35,7 @@ from motif_tpu.models.raft import RAFT
 from motif_tpu.models.encoder import ZSMEncoder
 from motif_tpu.models.siren import Siren
 from motif_tpu.ops.resize import interpolate_bilinear
-from motif_tpu.ops.softsplat import softmax_splat, splat_count, splat_max
+from motif_tpu.ops.softsplat import splat_fused
 from motif_tpu.ops.warp import backwarp
 
 
@@ -324,9 +324,7 @@ class MoTIF(nn.Module):
             splat_flow = jnp.repeat(flow_gt, G, axis=0).reshape(2 * B * N * G, HH, WW, 2)
         else:
             splat_flow = flow_hr
-        output, warped_z = softmax_splat(feat_hr, splat_flow, z)
-        z_max = splat_max(jnp.exp(z), splat_flow)
-        count = splat_count(splat_flow)
+        output, warped_z, z_max, count = splat_fused(feat_hr, splat_flow, z)
 
         # ---- merge directions + extras (Ours.py:810-836) ----
         Cf = output.shape[-1]

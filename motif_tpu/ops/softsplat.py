@@ -120,6 +120,42 @@ def splat_count(flow: jax.Array) -> jax.Array:
     return jax.lax.stop_gradient(out.reshape(B, H, W, 1))
 
 
+def splat_fused(img: jax.Array, flow: jax.Array, z: jax.Array):
+    """Fused softmax-splat + max-splat + count-splat sharing one corner
+    computation (the reference launches three CuPy kernels; Ours.py:799-806).
+
+    Returns (out, norm, z_max, count):
+      out    = splat_sum(img * exp(z))            (B,H,W,C)
+      norm   = splat_sum(exp(z))                  (B,H,W,1)
+      z_max  = max(1, max-splat(exp(z) * w))      (B,H,W,1)  [stop-grad]
+      count  = unweighted corner-hit count        (B,H,W,1)  [stop-grad]
+
+    The count channel rides the same scatter-add as the sum (its update is
+    the corner validity instead of the bilinear weight); the max reduction
+    needs its own scatter.
+    """
+    B, H, W, C = img.shape
+    ez = jnp.exp(z)
+    corners = _corner_data(flow, H, W)
+    idx = jnp.stack([c[0] for c in corners], 1).reshape(B, -1)
+    w = jnp.stack([jnp.where(c[2], c[1], 0.0) for c in corners], 1)   # (B,4,H,W)
+    valid = jnp.stack([c[2] for c in corners], 1)
+
+    stacked = jnp.concatenate([img * ez, ez], axis=-1)                # (B,H,W,C+1)
+    vals = stacked[:, None] * w[..., None].astype(img.dtype)
+    cnt = jax.lax.stop_gradient(valid.astype(img.dtype))[..., None]
+    vals = jnp.concatenate([vals, cnt], axis=-1).reshape(B, -1, C + 2)
+    acc = jnp.zeros((B, H * W, C + 2), dtype=img.dtype)
+    acc = acc.at[jnp.arange(B)[:, None], idx].add(vals)
+    acc = acc.reshape(B, H, W, C + 2)
+    out, norm, count = acc[..., :C], acc[..., C:C + 1], acc[..., C + 1:]
+
+    mx = jnp.where(valid, ez[:, None, :, :, 0] * w, -jnp.inf).reshape(B, -1, 1)
+    z_max = jnp.ones((B, H * W, 1), dtype=img.dtype)
+    z_max = z_max.at[jnp.arange(B)[:, None], idx].max(mx).reshape(B, H, W, 1)
+    return out, norm, jax.lax.stop_gradient(z_max), jax.lax.stop_gradient(count)
+
+
 def softmax_splat(img: jax.Array, flow: jax.Array, z: jax.Array):
     """Softmax-mode splat (reference Softsplat module, softsplat_cp.py:349).
 

@@ -49,7 +49,11 @@ def _np_dcn(x, offset, mask, weight, bias, K, stride, pad, dil, G):
     return out
 
 
-def test_dcn_v2_matches_cuda_semantics(rng):
+import pytest
+
+
+@pytest.mark.parametrize("backend", ["gather", "onehot"])
+def test_dcn_v2_matches_cuda_semantics(rng, backend):
     B, H, W, Cin, Cout, K, G = 2, 5, 6, 4, 3, 3, 2
     x = rng.standard_normal((B, H, W, Cin)).astype(np.float32)
     offset = (rng.standard_normal((B, H, W, G * K * K * 2)) * 1.5).astype(np.float32)
@@ -61,7 +65,7 @@ def test_dcn_v2_matches_cuda_semantics(rng):
     got = np.asarray(dcn_v2(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
                             jnp.asarray(weight), jnp.asarray(bias),
                             kernel_size=K, stride=1, padding=1, dilation=1,
-                            deformable_groups=G))
+                            deformable_groups=G, backend=backend))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 

@@ -109,3 +109,17 @@ def test_splat_sum_gradients_numerical(rng):
         num = (np.sum(_np_splat(values, fp, "sum") * cot)
                - np.sum(_np_splat(values, fm, "sum") * cot)) / (2 * eps)
         np.testing.assert_allclose(np.asarray(gf)[i], num, atol=5e-2)
+
+
+def test_splat_fused_matches_separate_ops(rng):
+    values, flow = _rand_case(rng, C=5)
+    z = (rng.standard_normal((2, 6, 7, 1)) * 0.5).astype(np.float32)
+    v, f, zz = jnp.asarray(values), jnp.asarray(flow), jnp.asarray(z)
+    out, norm, z_max, count = softsplat.splat_fused(v, f, zz)
+    out2, norm2 = softsplat.softmax_splat(v, f, zz)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(norm), np.asarray(norm2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z_max),
+                               np.asarray(softsplat.splat_max(jnp.exp(zz), f)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(count),
+                               np.asarray(softsplat.splat_count(f)), atol=1e-6)
