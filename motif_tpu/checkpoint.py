@@ -29,7 +29,9 @@ def torch_key_to_flax_path(key: str) -> tuple[str, ...]:
     parts = key.split(".")
     out: list[str] = []
     for p in parts:
-        if p.isdigit() and out:
+        if out and (p.isdigit() or p in ("l1", "l2", "l3")):
+            # Sequential/ModuleList indices and EDVR's ModuleDict level keys
+            # (EDVR.py:28-46) merge into the preceding attribute name.
             out[-1] = f"{out[-1]}_{p}"
         else:
             out.append(p)

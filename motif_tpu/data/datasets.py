@@ -36,18 +36,23 @@ GOPRO_VIDEOS = [  # Gopro_test.py:89-93
 
 
 def read_img(path: str) -> np.ndarray:
-    """cv2 decode → RGB float32 [0,1] HWC (data/util.py:59-83 + reindex)."""
+    """cv2 decode → RGB float32 [0,1] HWC (data/util.py:59-83 + reindex).
+    The uint8-BGR → float-RGB conversion runs in the native C++ core when
+    available (motif_tpu/native)."""
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     if img is None:
         raise FileNotFoundError(path)
-    img = img.astype(np.float32) / 255.0
     if img.ndim == 2:
         img = img[:, :, None].repeat(3, 2)
     if img.shape[2] > 3:
         img = img[:, :, :3]
-    return img[:, :, ::-1].copy()  # BGR → RGB
+    if img.dtype == np.uint8:
+        from motif_tpu import native
+
+        return native.u8bgr_to_f32rgb(img)
+    return (img.astype(np.float32) / 255.0)[:, :, ::-1].copy()
 
 
 def _list_frames(d: str) -> list[str]:
@@ -117,8 +122,10 @@ class Vimeo7Dataset:
 
     def __post_init__(self):
         if isinstance(self.keys, str):
-            path = self.keys if osp.isabs(self.keys) else osp.join(
-                osp.dirname(self.gt_root.rstrip("/")), self.keys)
+            if osp.exists(self.keys) or osp.isabs(self.keys):
+                path = self.keys
+            else:  # bare filename: resolve next to the GT root
+                path = osp.join(osp.dirname(self.gt_root.rstrip("/")), self.keys)
             if path.endswith(".pkl"):
                 with open(path, "rb") as f:
                     self.keys = pickle.load(f)

@@ -34,7 +34,7 @@ def collate_adobe_arbitrary(items: list[dict], lq_size: int = 64,
     """collate_function (data/__init__.py:91-131): batch-level random
     d_scale ∈ [2,4], GT crop of size floor(lq*d), MATLAB-bicubic LQ
     1/(2d) and GT 1/2 downsample, joint flip/rot augmentation."""
-    from motif_tpu.ops.resize import imresize_matlab_np
+    from motif_tpu import native
 
     rng = rng or random
     d_scale = rng.uniform(2, 4)
@@ -48,10 +48,19 @@ def collate_adobe_arbitrary(items: list[dict], lq_size: int = 64,
     def crop(img):
         return img[x:x + gt_size, y:y + gt_size]
 
-    lqs = np.stack([np.stack([imresize_matlab_np(crop(f) * 255, 1 / (2 * d_scale)) / 255
-                              for f in it["lq_raw"]], 0) for it in items], 0)
-    gts = np.stack([np.stack([imresize_matlab_np(crop(f) * 255, 0.5) / 255
-                              for f in it["gt_raw"]], 0) for it in items], 0)
+    # MATLAB-bicubic LR synthesis via the native (C++/OpenMP) core
+    lq_in = np.stack([np.stack([crop(f) for f in it["lq_raw"]], 0)
+                      for it in items], 0) * 255.0
+    gt_in = np.stack([np.stack([crop(f) for f in it["gt_raw"]], 0)
+                      for it in items], 0) * 255.0
+    B, NL = lq_in.shape[:2]
+    NG = gt_in.shape[1]
+    lqs = native.matlab_resize_batch(
+        lq_in.reshape(B * NL, *lq_in.shape[2:]), 1 / (2 * d_scale)) / 255.0
+    gts = native.matlab_resize_batch(
+        gt_in.reshape(B * NG, *gt_in.shape[2:]), 0.5) / 255.0
+    lqs = lqs.reshape(B, NL, *lqs.shape[1:])
+    gts = gts.reshape(B, NG, *gts.shape[1:])
 
     hflip = rng.random() < 0.5
     vflip = rng.random() < 0.5

@@ -1,0 +1,47 @@
+"""Model factory — the reference networks.define_G dispatch
+(models/networks.py:17-61), mapping which_model_G strings to flax modules.
+
+The Ours_* ablation forks of the reference (Ours_7/4/44/flow/flownorm/
+ZSM/back — ~95% shared code, SURVEY.md §2.3) are expressed as MoTIF
+configurations: they differ in flow-loss usage (Ours_ZSM trains without it,
+handled by Trainer(flow_loss=False)), per-time-step evaluation chunking
+(Ours_44 — Evaluator(chunk=1)) and the `setting` flag set.
+"""
+
+from __future__ import annotations
+
+from motif_tpu.models.baselines import EDVR, SuperSloMo, TMNet, ZSM
+from motif_tpu.models.motif import MoTIF
+from motif_tpu.models.videoinr import VideoINR
+
+
+def define_g(opt: dict):
+    """opt: the 'network_G' section of a reference yml config."""
+    which = opt.get("which_model_G") or "Ours"
+    nf = int(opt.get("nf") or 64)
+    groups = int(opt.get("groups") or 8)
+    front = int(opt.get("front_RBs") or 5)
+    back = int(opt.get("back_RBs") or 40)
+    setting = int(opt.get("setting") or 5)
+
+    if which.startswith("Ours"):
+        return MoTIF(setting=setting, channel=nf)
+    if which == "LIIF":
+        return VideoINR(nf=nf, front_rbs=front, back_rbs=back, groups=groups)
+    if which in ("ZSM", "Zooming"):
+        return ZSM(nf=nf, front_rbs=front, back_rbs=back, groups=groups)
+    if which == "TMNet":
+        return TMNet(nf=nf, front_rbs=front, back_rbs=back, groups=groups)
+    if which == "EDVR":
+        return EDVR(nf=int(opt.get("nf") or 128),
+                    num_frame=int(opt.get("nframes") or 7), groups=groups,
+                    extract_blocks=front, recon_blocks=back,
+                    with_tsa=bool(opt.get("with_tsa", True)))
+    if which == "Super_SloMo":
+        return SuperSloMo()
+    raise NotImplementedError(f"Generator model [{which}] not recognized")
+
+
+# chunking behaviour per model family at eval time
+# (VideoSR_base_model.py:172-197)
+EVAL_CHUNK = {"Ours_44": 1, "Ours": 3}

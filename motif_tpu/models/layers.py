@@ -188,6 +188,35 @@ class ConvLSTMCell(nn.Module):
         return h_next, c_next
 
 
+def pixel_shuffle(x: jax.Array, r: int = 2) -> jax.Array:
+    """torch nn.PixelShuffle parity in NHWC: channel index (c, ry, rx)
+    fastest-last → out[b, h*r+ry, w*r+rx, c]."""
+    B, H, W, C = x.shape
+    c = C // (r * r)
+    x = x.reshape(B, H, W, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(B, H * r, W * r, c)
+
+
+def max_pool2d(x: jax.Array, window: int = 3, stride: int = 2, padding: int = 1) -> jax.Array:
+    """torch nn.MaxPool2d parity (NHWC)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        (1, window, window, 1), (1, stride, stride, 1),
+        ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+
+
+def avg_pool2d_padded(x: jax.Array, window: int = 3, stride: int = 2,
+                      padding: int = 1) -> jax.Array:
+    """torch nn.AvgPool2d parity with count_include_pad=True (the default):
+    zero padding counts in the denominator."""
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        (1, window, window, 1), (1, stride, stride, 1),
+        ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    return s / float(window * window)
+
+
 class ConvTranspose2d(nn.Module):
     """torch nn.ConvTranspose2d equivalent (kernel stored HWIO like Conv2d;
     ported from torch's (in, out, kh, kw) by checkpoint.py's 4-D transpose

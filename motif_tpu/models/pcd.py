@@ -65,19 +65,21 @@ class DCNSep(nn.Module):
 
 
 class TMB(nn.Module):
-    """Temporal modulation block (Ours.py:27-50)."""
+    """Temporal modulation block (Ours.py:27-50; the reference hardcodes
+    64 == nf channels)."""
+    nf: int = 64
 
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array) -> jax.Array:
-        f = Conv2d(64, 3, 1, 1, name="f_process_0")(x)
+        f = Conv2d(self.nf, 3, 1, 1, name="f_process_0")(x)
         f = lrelu(f)
-        f = Conv2d(64, 3, 1, 1, name="f_process_2")(f)
+        f = Conv2d(self.nf, 3, 1, 1, name="f_process_2")(f)
         f = lrelu(f)
-        m = Conv2d(64, 1, 1, 0, use_bias=False, name="t_process_0")(t)
+        m = Conv2d(self.nf, 1, 1, 0, use_bias=False, name="t_process_0")(t)
         m = lrelu(m)
-        m = Conv2d(64, 1, 1, 0, use_bias=False, name="t_process_2")(m)
+        m = Conv2d(self.nf, 1, 1, 0, use_bias=False, name="t_process_2")(m)
         m = lrelu(m)
-        m = Conv2d(64, 1, 1, 0, use_bias=False, name="t_process_4")(m)
+        m = Conv2d(self.nf, 1, 1, 0, use_bias=False, name="t_process_4")(m)
         m = lrelu(m)
         return f * m
 
@@ -104,7 +106,7 @@ class PCDAlign(nn.Module):
             l3_off = lrelu(Conv2d(nf, 3, 1, 1, name=f"L3_offset_conv1_{sfx}")(l3_off))
             l3_off_c = lrelu(Conv2d(nf, 3, 1, 1, name=f"L3_offset_conv2_{sfx}")(l3_off))
             if tt is not None:
-                l3_off_c = l3_off_c + TMB(name=f"TMB_{'A' if sfx == '1' else 'B'}_l3")(l3_off, tt)
+                l3_off_c = l3_off_c + TMB(nf, name=f"TMB_{'A' if sfx == '1' else 'B'}_l3")(l3_off, tt)
             l3_fea = lrelu(DCNSep(nf, deformable_groups=g, name=f"L3_dcnpack_{sfx}")(a[2], l3_off_c))
             # L2
             l2_off = jnp.concatenate([a[1], b[1]], -1)
@@ -114,7 +116,7 @@ class PCDAlign(nn.Module):
                 jnp.concatenate([l2_off, l3_up * 2.0], -1)))
             l2_off_c = lrelu(Conv2d(nf, 3, 1, 1, name=f"L2_offset_conv3_{sfx}")(l2_off))
             if tt is not None:
-                l2_off_c = l2_off_c + TMB(name=f"TMB_{'A' if sfx == '1' else 'B'}_l2")(l2_off, tt)
+                l2_off_c = l2_off_c + TMB(nf, name=f"TMB_{'A' if sfx == '1' else 'B'}_l2")(l2_off, tt)
             l2_fea = DCNSep(nf, deformable_groups=g, name=f"L2_dcnpack_{sfx}")(a[1], l2_off_c)
             l3_fea_up = up2(l3_fea)
             l2_fea = lrelu(Conv2d(nf, 3, 1, 1, name=f"L2_fea_conv_{sfx}")(
@@ -127,7 +129,7 @@ class PCDAlign(nn.Module):
                 jnp.concatenate([l1_off, l2_up * 2.0], -1)))
             l1_off_c = lrelu(Conv2d(nf, 3, 1, 1, name=f"L1_offset_conv3_{sfx}")(l1_off))
             if tt is not None:
-                l1_off_c = l1_off_c + TMB(name=f"TMB_{'A' if sfx == '1' else 'B'}_l1")(l1_off, tt)
+                l1_off_c = l1_off_c + TMB(nf, name=f"TMB_{'A' if sfx == '1' else 'B'}_l1")(l1_off, tt)
             l1_fea = DCNSep(nf, deformable_groups=g, name=f"L1_dcnpack_{sfx}")(a[0], l1_off_c)
             l2_fea_up = up2(l2_fea)
             l1_fea = Conv2d(nf, 3, 1, 1, name=f"L1_fea_conv_{sfx}")(

@@ -7,4 +7,10 @@ sharded over 'data', parameters are replicated, and XLA inserts the
 gradient all-reduce over ICI automatically.
 """
 
-from motif_tpu.parallel.mesh import make_mesh, shard_batch, replicate  # noqa: F401
+from motif_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+    host_shard_indices,
+    epoch_permutation,
+)

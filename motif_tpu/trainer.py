@@ -162,6 +162,8 @@ class Trainer:
         use_gt = self._rng.random() < ratio
         if use_gt not in self._steps:
             self._steps[use_gt] = self._build_step(use_gt)
-        new_state, aux = self._steps[use_gt](state, batch)
+        arrays = {k: v for k, v in batch.items()
+                  if hasattr(v, "shape") and k in ("lq", "gt", "times")}
+        new_state, aux = self._steps[use_gt](state, arrays)
         aux["use_gt"] = use_gt
         return new_state, aux

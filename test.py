@@ -20,6 +20,8 @@ def main():
     args = parser.parse_args()
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     import jax.numpy as jnp
     import numpy as np
 

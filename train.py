@@ -24,6 +24,8 @@ def main():
     args = parser.parse_args()
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     import jax.numpy as jnp
 
     from motif_tpu.utils import config as cfg
