@@ -81,6 +81,7 @@ class MoTIF(nn.Module):
     trans: bool = False
     res_liff: bool = False
     local_ensemble: bool = False
+    fused_siren: bool = False  # Pallas fused-MLP SIREN evaluation (TPU)
 
     @property
     def warp_to_many(self) -> bool:
@@ -236,10 +237,12 @@ class MoTIF(nn.Module):
         self.param("norm_beta", nn.initializers.zeros, (1, 3, 1))
         _ = Conv2d(ch, 1, 1, 0, name="shuffle")(jnp.zeros((1, 1, 1, ch), x.dtype))
 
-        flow_imnet = Siren([64, 64, 256], 2, 3 * G, name="flow_imnet")
-        imnet = Siren([64, 64, 256], 2, 64, name="imnet")
+        flow_imnet = Siren([64, 64, 256], 2, 3 * G, fused=self.fused_siren,
+                           name="flow_imnet")
+        imnet = Siren([64, 64, 256], 2, 64, fused=self.fused_siren, name="imnet")
         if self.res_liff:
-            res_imnet = Siren([64, 64, 256], 2, 64, name="res_imnet")
+            res_imnet = Siren([64, 64, 256], 2, 64, fused=self.fused_siren,
+                              name="res_imnet")
 
         if self.local_ensemble:
             shifts = [(-1, -1), (-1, 1), (1, -1), (1, 1)]
@@ -363,7 +366,8 @@ class MoTIF(nn.Module):
                 res_rep, tmap], -1)
 
         if self.siren:
-            synth = Siren([64, 64, 64, 256], 3, 3, name="synth_net")
+            synth = Siren([64, 64, 64, 256], 3, 3, fused=self.fused_siren,
+                          name="synth_net")
             out = synth(synth_in.reshape(B * N, HH * WW, -1)).reshape(B * N, HH, WW, 3)
         else:
             y = Conv2d(ch * 2, 3, 1, 1, name="synth_net_0")(synth_in)

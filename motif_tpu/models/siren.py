@@ -56,6 +56,11 @@ class Siren(nn.Module):
 
     hidden_layers counts the *intermediate* sine layers, exactly like the
     reference: layers = [first] + hidden_layers * [sine] + [out].
+
+    fused=True evaluates the whole MLP as one Pallas kernel (weights
+    resident in VMEM, tokens streamed in tiles — ops/siren_kernel.py);
+    requires first_omega_0 == hidden_omega_0 (true for every reference
+    instantiation). Falls back to the composed path during init.
     """
     hidden_features: Sequence[int]
     hidden_layers: int
@@ -63,9 +68,25 @@ class Siren(nn.Module):
     outermost_linear: bool = True
     first_omega_0: float = 30.0
     hidden_omega_0: float = 30.0
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.fused and not self.is_initializing():
+            from motif_tpu.ops.siren_kernel import siren_fused
+
+            assert self.first_omega_0 == self.hidden_omega_0
+            p = self.variables["params"]
+            n = self.hidden_layers + 2
+            weights, biases = [], []
+            for i in range(n):
+                node = p[f"net_{i}"]
+                leaf = node["linear"] if "linear" in node else node
+                weights.append(leaf["kernel"])
+                biases.append(leaf["bias"])
+            return siren_fused(x, weights, biases, self.hidden_omega_0,
+                               sine_last=not self.outermost_linear)
+
         x = SineLayer(self.hidden_features[0], is_first=True,
                       omega_0=self.first_omega_0, name="net_0")(x)
         for i in range(self.hidden_layers):
