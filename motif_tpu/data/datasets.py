@@ -156,6 +156,20 @@ class Vimeo7Dataset:
                for i in self.lr_index_list]
         times = np.asarray([(v - 1) / 6.0 for v in neighbor], np.float32)
 
+        gt_flow = lr_flow = None
+        if self.load_flows:
+            # precomputed flows (Vimeo7_dataset.py:143,152): channel-first
+            # npys (K, 2, h, w) → channel-last (K, h, w, 2)
+            gt_flow = np.load(osp.join(gt_dir, "hr_gt_flow.npy")).astype(np.float32)
+            lr_flow = np.load(osp.join(lq_dir, "lr_flow_12.npy")).astype(np.float32)
+            if self.random_reverse and reverse < 0.5:
+                # Vimeo7_dataset.py:159-162: flip times and anchors
+                _, _, h, w = gt_flow.shape
+                gt_flow = np.flip(np.flip(gt_flow.reshape(7, 4, 2, h, w), 0), 1
+                                  ).reshape(28, 2, h, w)
+                lr_flow = np.flip(np.flip(lr_flow.reshape(4, 4, 2, h // 4, w // 4),
+                                          0), 1).reshape(16, 2, h // 4, w // 4)
+
         if self.phase == "train":
             H, W = lqs[0].shape[:2]
             lq_size = self.gt_size // self.scale
@@ -164,8 +178,10 @@ class Vimeo7Dataset:
             lqs = [v[rh:rh + lq_size, rw:rw + lq_size] for v in lqs]
             rh4, rw4 = rh * self.scale, rw * self.scale
             gts = [v[rh4:rh4 + self.gt_size, rw4:rw4 + self.gt_size] for v in gts]
-            # flip / rot augmentation (data/util.py:92-128; flows not used by
-            # the live-RAFT training path so sign fixes are frame-only here)
+            if self.load_flows:
+                lr_flow = lr_flow[:, :, rh:rh + lq_size, rw:rw + lq_size]
+                gt_flow = gt_flow[:, :, rh4:rh4 + self.gt_size, rw4:rw4 + self.gt_size]
+            # flip / rot augmentation with flow sign fixes (data/util.py:92-128)
             hflip = self.use_flip and self._rng.random() < 0.5
             vflip = self.use_rot and self._rng.random() < 0.5
             rot90 = self.use_rot and self._rng.random() < 0.5
@@ -179,11 +195,31 @@ class Vimeo7Dataset:
                     img = img.transpose(1, 0, 2)
                 return np.ascontiguousarray(img)
 
+            def aug_flow(fl):  # fl (K, 2, h, w), channels (u=x, v=y)
+                if hflip:
+                    fl = fl[:, :, :, ::-1]
+                    fl[:, 1] *= -1  # the reference flips channel 1 on hflip
+                if vflip:
+                    fl = fl[:, :, ::-1, :]
+                    fl[:, 0] *= -1
+                if rot90:
+                    fl = np.flip(fl.transpose(0, 1, 3, 2), 1)
+                return np.ascontiguousarray(fl)
+
             lqs = [aug(v) for v in lqs]
             gts = [aug(v) for v in gts]
+            if self.load_flows:
+                lr_flow = aug_flow(lr_flow.copy())
+                gt_flow = aug_flow(gt_flow.copy())
 
-        return {"lq": np.stack(lqs, 0), "gt": np.stack(gts, 0),
-                "times": times, "key": key}
+        out = {"lq": np.stack(lqs, 0), "gt": np.stack(gts, 0),
+               "times": times, "key": key}
+        if self.load_flows:
+            # → model layout: lr (16, h, w, 2); gt (N=7, 4, HH, WW, 2)
+            out["flow"] = lr_flow.transpose(0, 2, 3, 1)
+            g = gt_flow.transpose(0, 2, 3, 1)
+            out["flow_gt"] = g.reshape(7, 4, *g.shape[1:3], 2)
+        return out
 
 
 @dataclass

@@ -25,7 +25,10 @@ def define_g(opt: dict):
     setting = int(opt.get("setting") or 5)
 
     if which.startswith("Ours"):
-        return MoTIF(setting=setting, channel=nf)
+        # Ours_44 / Ours_4 are the 4-anchor variants (Ours_44.py); the other
+        # forks differ only in training wiring (see module docstring).
+        n_anchors = 4 if which in ("Ours_44", "Ours_4") else 2
+        return MoTIF(setting=setting, channel=nf, n_anchors=n_anchors)
     if which == "LIIF":
         return VideoINR(nf=nf, front_rbs=front, back_rbs=back, groups=groups)
     if which in ("ZSM", "Zooming"):

@@ -73,10 +73,21 @@ def _gauss_blur_reflect(x: jax.Array) -> jax.Array:
 
 class MoTIF(nn.Module):
     """The MoTIF C-STVSR model. Param tree mirrors the reference module
-    names so `best.pth` ports mechanically (checkpoint.py)."""
+    names so `best.pth` ports mechanically (checkpoint.py).
+
+    n_anchors selects the variant family:
+      * 2 — `Ours` (models/modules/Ours.py): the two center frames anchor
+        the flows; residual = the encoder's middle fused frame.
+      * 4 — `Ours_44` (models/modules/Ours_44.py, the reference's Vimeo
+        training model): all four input frames anchor 16 directed flows,
+        anchor positions [0,2,4,6]/6, and the residual is the encoder
+        output indexed by round(t*6) per target time; teacher flows come
+        precomputed from the dataset (`flows=` argument).
+    """
     setting: int = 5
     channel: int = 64
     groups: int = 1
+    n_anchors: int = 2
     siren: bool = True
     trans: bool = False
     res_liff: bool = False
@@ -109,57 +120,79 @@ class MoTIF(nn.Module):
         iters: int = 12,
         target_frames: jax.Array | None = None,  # (B, N+2, HH, WW, 3) train
         train: bool = False,
+        flows: tuple | None = None,  # (lr_flow (B,n²,H,W,2), flow_gt (B,N,n,HH,WW,2))
     ):
         B, N_in, H, W, _ = x.shape
         HH, WW = out_hw
         N = target_t.shape[1]
         G = self.groups
         ch = self.channel
+        n = self.n_anchors
         # The released reference model uses groups=1 (Ours.py:449); the G>1
         # channel-split quirks of Ours.py:783-791 are not reproduced yet.
         assert G == 1, "MoTIF groups>1 not supported (reference uses 1)"
+        assert n in (2, 4)
+        # anchor time positions / rsd divisor (Ours.py:615-621 [0,8]/8;
+        # Ours_44.py [0,2,4,6]/6)
+        positions = [0.0, 8.0] if n == 2 else [0.0, 2.0, 4.0, 6.0]
+        rsd_div = positions[-1]  # 8.0 (Ours) / 6.0 (Ours_44)
+        n2 = n * n
 
         raft = RAFT(name="flow_predictor")
 
-        # center two frames (Ours.py:516)
-        c = N_in // 2
-        fr0, fr1 = x[:, c - 1], x[:, c]
+        # anchor frames: the two center frames for Ours (Ours.py:516), all
+        # four inputs for Ours_44
+        if n == 2:
+            c = N_in // 2
+            frames = [x[:, c - 1], x[:, c]]
+        else:
+            assert N_in == 4
+            frames = [x[:, i] for i in range(4)]
 
         # ---- motion + reliability (no_grad block, Ours.py:519-595) ----
-        hr0 = interpolate_bilinear(fr0, (HH, WW))
-        hr1 = interpolate_bilinear(fr1, (HH, WW))
-        src = jnp.concatenate([hr0, hr0, hr1, hr1], 0)
-        dst = jnp.concatenate([hr0, hr1, hr0, hr1], 0)
-        flow = raft(src * 255.0, dst * 255.0, iters=iters)        # (4B,h8*8,w8*8,2)
-        flow = interpolate_bilinear(flow, (H, W)) * (H / HH)
-        flow = flow.reshape(4, B, H, W, 2)
-        flow = flow.at[0].set(0.0).at[3].set(0.0)
-        flow = flow.reshape(4 * B, H, W, 2)
+        if flows is not None and flows[0] is not None:
+            # precomputed LR flows (Ours_44.py: dataset lr_flow npys)
+            flow = flows[0].transpose(1, 0, 2, 3, 4).reshape(n2 * B, H, W, 2)
+        else:
+            hr_frames = [interpolate_bilinear(f, (HH, WW)) for f in frames]
+            src = jnp.concatenate([hr_frames[i] for i in range(n) for _ in range(n)], 0)
+            dst = jnp.concatenate([hr_frames[j] for _ in range(n) for j in range(n)], 0)
+            flow = raft(src * 255.0, dst * 255.0, iters=iters)
+            flow = interpolate_bilinear(flow, (H, W)) * (H / HH)
+            flow = flow.reshape(n2, B, H, W, 2)
+            for i in range(n):  # zero the self-pairs (Ours.py:551-553)
+                flow = flow.at[i * n + i].set(0.0)
+            flow = flow.reshape(n2 * B, H, W, 2)
 
         # psi_photo (Ours.py:562-563): warp the *target* frame back with the
         # flow and compare against the source frame.
-        tgt = jnp.concatenate([fr0, fr1, fr0, fr1], 0)
-        srclr = jnp.concatenate([fr0, fr0, fr1, fr1], 0)
+        tgt = jnp.concatenate([frames[j] for _ in range(n) for j in range(n)], 0)
+        srclr = jnp.concatenate([frames[i] for i in range(n) for _ in range(n)], 0)
         warped, _ = backwarp(tgt, flow, clip=True)
         psi_photo = jnp.abs(srclr - warped).mean(-1)
         # psi_flow (Ours.py:565-571): warp the reverse flow back and compare.
-        f4 = flow.reshape(4, B, H, W, 2)
-        rev = jnp.concatenate([f4[0], f4[2], f4[1], f4[3]], 0)
+        f4 = flow.reshape(n2, B, H, W, 2)
+        rev = jnp.concatenate([f4[j * n + i] for i in range(n) for j in range(n)], 0)
         warped_f, _ = backwarp(-rev, flow, clip=True)
         psi_flow = jnp.abs(flow - warped_f).mean(-1)
         # psi_var (Ours.py:572-577): local gaussian std of the flow field.
         sq_mean = _gauss_blur_reflect(flow ** 2)
         mean_sq = _gauss_blur_reflect(flow)
         psi_var = jnp.sqrt(jnp.clip(sq_mean - mean_sq ** 2, 1e-9)).mean(-1)
-        psies = jnp.stack([psi_photo, psi_flow / 10.0, psi_var], axis=-1)  # (4B,H,W,3)
+        psies = jnp.stack([psi_photo, psi_flow / 10.0, psi_var], axis=-1)  # (n²B,H,W,3)
 
         flow = jax.lax.stop_gradient(flow)
         psies = jax.lax.stop_gradient(psies)
 
-        # teacher flow (train only, Ours.py:586-595): RAFT from each anchor
-        # to each target frame at 128x128, upsampled to HR.
-        if train:
-            assert target_frames is not None
+        # teacher flow: Ours computes it live with RAFT at 128² (train only,
+        # Ours.py:586-595); Ours_44 consumes the dataset's precomputed
+        # hr_gt_flow (Ours_44.py flows branch).
+        if flows is not None and flows[-1] is not None:
+            fg = flows[-1]                                         # (B,N,n,HH,WW,2)
+            flow_gt = fg.transpose(2, 0, 1, 3, 4, 5).reshape(n * B * N, HH, WW, 2)
+            flow_gt = jax.lax.stop_gradient(flow_gt)
+        elif train:
+            assert target_frames is not None and n == 2
             tf = target_frames
             small = interpolate_bilinear(
                 tf.reshape(B * tf.shape[1], HH, WW, 3), (128, 128)
@@ -175,45 +208,51 @@ class MoTIF(nn.Module):
             flow_gt = interpolate_bilinear(flow_gt, (HH, WW)) * (HH / 128.0)
             flow_gt = jax.lax.stop_gradient(flow_gt)                # (2BN,HH,WW,2)
         else:
-            flow_gt = jnp.zeros((2 * B * N, HH, WW, 2), x.dtype)
+            flow_gt = jnp.zeros((n * B * N, HH, WW, 2), x.dtype)
 
-        # ---- encoder (Ours.py:601-613) ----
-        feat_t = ZSMEncoder(ch, name="encoder")(jnp.stack([fr0, fr1], 1))  # (B,3,H,W,ch)
-        residual = feat_t[:, feat_t.shape[1] // 2]                          # (B,H,W,ch)
-        feat = jnp.concatenate(
-            [feat_t[:, feat_t.shape[1] // 2 - 1], feat_t[:, feat_t.shape[1] // 2 + 1]], 0
-        )                                                                   # (2B,H,W,ch)
+        # ---- encoder (Ours.py:601-613 / Ours_44 residual-by-time) ----
+        feat_t = ZSMEncoder(ch, name="encoder")(jnp.stack(frames, 1))  # (B,2n-1,H,W,ch)
+        if n == 2:
+            residual_t = jnp.repeat(
+                feat_t[:, feat_t.shape[1] // 2][:, None], N, axis=1)   # (B,N,H,W,ch)
+        else:
+            # Ours_44.py: residual = feat[:, round(t*6)] per target time
+            idx = jnp.clip(jnp.round(target_t * 6.0).astype(jnp.int32), 0,
+                           feat_t.shape[1] - 1)                         # (B,N)
+            residual_t = jnp.take_along_axis(
+                feat_t, idx[:, :, None, None, None], axis=1)            # (B,N,H,W,ch)
+        feat = jnp.concatenate([feat_t[:, 2 * i] for i in range(n)], 0)  # (nB,H,W,ch)
 
         # ---- flow-context encoder (Ours.py:614-657) ----
-        rsd = np.array([[0.0, 0.0], [0.0, 8.0], [8.0, 0.0], [8.0, 8.0]], np.float32)
+        rsd = np.array([[positions[i], positions[j]] for i in range(n)
+                        for j in range(n)], np.float32)
         if not self.trans:
             # per source frame i: concat over targets j of
             # [flow_ij/20 (2), psi_ij (3 if input_Z), rsd row (2)] → grouped conv.
-            f22 = (flow / 20.0).reshape(2, 2, B, H, W, 2).transpose(0, 2, 1, 3, 4, 5)
-            p22 = psies.reshape(2, 2, B, H, W, 3).transpose(0, 2, 1, 3, 4, 5)
+            f22 = (flow / 20.0).reshape(n, n, B, H, W, 2).transpose(0, 2, 1, 3, 4, 5)
+            p22 = psies.reshape(n, n, B, H, W, 3).transpose(0, 2, 1, 3, 4, 5)
             r22 = jnp.broadcast_to(
-                jnp.asarray(rsd.reshape(2, 1, 2, 1, 1, 2) / 8.0),
-                (2, B, 2, H, W, 2)).astype(x.dtype)
+                jnp.asarray(rsd.reshape(n, 1, n, 1, 1, 2) / rsd_div),
+                (n, B, n, H, W, 2)).astype(x.dtype)
             parts = [f22, p22, r22] if self.input_Z else [f22, r22]
-            ff = jnp.concatenate(parts, axis=-1)                    # (2,B,2,H,W,7|4)
-            ff = ff.reshape(2 * B, 2, H, W, -1).transpose(0, 2, 3, 1, 4)
-            ff = ff.reshape(2 * B, H, W, -1)                        # grouped by j
-            cin = ff.shape[-1]
-            y = Conv2d(ch, 3, 1, 1, groups=2, name="flow_process_0")(ff)
+            ff = jnp.concatenate(parts, axis=-1)                    # (n,B,n,H,W,7|4)
+            ff = ff.reshape(n * B, n, H, W, -1).transpose(0, 2, 3, 1, 4)
+            ff = ff.reshape(n * B, H, W, -1)                        # grouped by j
+            y = Conv2d(ch, 3, 1, 1, groups=n, name="flow_process_0")(ff)
             y = Conv2d(ch, 3, 1, 1, groups=2, name="flow_process_1")(y)
             y = lrelu(y)
             for i in range(3, 8):
                 y = LateralBlock(ch, name=f"flow_process_{i}")(y)
             y = lrelu(y)
             flow_feat = Conv2d(ch, 3, 1, 1, padding_mode="reflect",
-                               name="flow_process_9")(y)            # (2B,H,W,ch)
+                               name="flow_process_9")(y)            # (nB,H,W,ch)
         else:
             p_parts = [(flow / 20.0)]
             if self.input_Z:
                 p_parts.append(psies)
             p_parts.append(jnp.broadcast_to(
-                jnp.asarray(rsd.reshape(4, 1, 1, 1, 2) / 8.0),
-                (4, B, H, W, 2)).reshape(4 * B, H, W, 2).astype(x.dtype))
+                jnp.asarray(rsd.reshape(n2, 1, 1, 1, 2) / rsd_div),
+                (n2, B, H, W, 2)).reshape(n2 * B, H, W, 2).astype(x.dtype))
             ff = jnp.concatenate(p_parts, axis=-1)
             y = Conv2d(ch // 2, 3, 1, 1, name="flow_process_0")(ff)
             y = Conv2d(ch, 3, 1, 1, name="flow_process_1")(y)
@@ -225,10 +264,10 @@ class MoTIF(nn.Module):
             wgt = LateralBlock(ch, name="weight_generator_0")(ffe)
             wgt = lrelu(wgt)
             wgt = Conv2d(G, 3, 1, 1, padding_mode="reflect", name="weight_generator_2")(wgt)
-            wgt = wgt.reshape(4, 4, B, H, W, G, 1)
-            ffg = ffe.reshape(4, 4, B, H, W, G, -1)
+            wgt = wgt.reshape(n2, n2, B, H, W, G, 1)
+            ffg = ffe.reshape(n2, n2, B, H, W, G, -1)
             wgt = jax.nn.softmax(wgt, axis=1)
-            flow_feat = (ffg * wgt).sum(1).reshape(4 * B, H, W, -1)
+            flow_feat = (ffg * wgt).sum(1).reshape(n2 * B, H, W, -1)
 
         # ---- LIIF query (Ours.py:659-783) as separable nearest takes ----
         # unused-but-checkpointed parameters (Ours.py:439-440,509-510)
@@ -249,7 +288,8 @@ class MoTIF(nn.Module):
         else:
             shifts = [(0, 0)]
 
-        t_tokens = jnp.tile(target_t.reshape(B * N, 1, 1, 1), (2, HH, WW, 1))
+        t_tokens = jnp.tile(target_t.reshape(B * N, 1, 1, 1), (n, HH, WW, 1))
+        residual_bn = residual_t.reshape(B * N, H, W, ch)
 
         preds, areas = [], []
         for vy, vx in shifts:
@@ -266,29 +306,30 @@ class MoTIF(nn.Module):
                                        indexing="ij"), -1)[None],
                 (1, HH, WW, 2)).astype(x.dtype)
 
-            q_feat = up(feat)                                       # (2B,HH,WW,ch)
-            q_flow_feat = up(flow_feat)                             # (2B,HH,WW,ch)
-            q_residual = up(residual)                               # (B,HH,WW,ch)
+            q_feat = up(feat)                                       # (nB,HH,WW,ch)
+            q_flow_feat = up(flow_feat)                             # (nB,HH,WW,ch)
+            q_residual = up(residual_bn)                            # (BN,HH,WW,ch)
 
             # STINF input: [flow_feat | t | rel] (Ours.py:727-730)
             sti = jnp.concatenate([
                 jnp.repeat(q_flow_feat, N, axis=0)
-                   .reshape(2, B, N, HH, WW, ch).reshape(2 * B * N, HH, WW, ch),
+                   .reshape(n, B, N, HH, WW, ch).reshape(n * B * N, HH, WW, ch),
                 t_tokens,
-                jnp.tile(rel, (2 * B * N, 1, 1, 1)),
+                jnp.tile(rel, (n * B * N, 1, 1, 1)),
             ], axis=-1)
             # SINF input: [feat | rel] (Ours.py:731-733)
-            si = jnp.concatenate([q_feat, jnp.tile(rel, (2 * B, 1, 1, 1))], -1)
+            si = jnp.concatenate([q_feat, jnp.tile(rel, (n * B, 1, 1, 1))], -1)
 
-            sti_out = flow_imnet(sti.reshape(2 * B * N, HH * WW, -1))
-            si_out = imnet(si.reshape(2 * B, HH * WW, -1))
-            pred = [si_out.reshape(2 * B, HH, WW, 64),
+            sti_out = flow_imnet(sti.reshape(n * B * N, HH * WW, -1))
+            si_out = imnet(si.reshape(n * B, HH * WW, -1))
+            pred = [si_out.reshape(n * B, HH, WW, 64),
                     q_feat,
                     q_residual,
-                    sti_out.reshape(2 * B * N, HH, WW, 3 * G)]
+                    sti_out.reshape(n * B * N, HH, WW, 3 * G)]
             if self.res_liff:
-                ri = jnp.concatenate([q_residual, jnp.tile(rel, (B, 1, 1, 1))], -1)
-                pred.append(res_imnet(ri.reshape(B, HH * WW, -1)).reshape(B, HH, WW, 64))
+                ri = jnp.concatenate([q_residual, jnp.tile(rel, (B * N, 1, 1, 1))], -1)
+                pred.append(res_imnet(ri.reshape(B * N, HH * WW, -1))
+                            .reshape(B * N, HH, WW, 64))
                 pred = [pred[0], pred[1], pred[4], pred[3], pred[2]]
             preds.append(pred)
             areas.append(jnp.abs(rel[..., 0] * rel[..., 1]) + 1e-9)
@@ -308,14 +349,14 @@ class MoTIF(nn.Module):
             q_feat_o, q_feat_low, q_residual, q_flow_o = acc
 
         # ---- HR flow / z / features (Ours.py:783-797) ----
-        flow_raw = q_flow_o.reshape(2 * B * N * G, HH, WW, 3)
+        flow_raw = q_flow_o.reshape(n * B * N * G, HH, WW, 3)
         feat_hr = jnp.concatenate([
             jnp.repeat(q_feat_o, N, axis=0)
-               .reshape(2, B, N, HH, WW, 64).reshape(2 * B * N * G, HH, WW, 64),
+               .reshape(n, B, N, HH, WW, 64).reshape(n * B * N * G, HH, WW, 64),
             jax.lax.stop_gradient(flow_raw[..., :2]),
             jnp.repeat(q_feat_low, N, axis=0)
-               .reshape(2, B, N, HH, WW, ch).reshape(2 * B * N * G, HH, WW, ch),
-        ], axis=-1)                                                 # (2BNG,HH,WW,130)
+               .reshape(n, B, N, HH, WW, ch).reshape(n * B * N * G, HH, WW, ch),
+        ], axis=-1)                                                 # (nBNG,HH,WW,130)
 
         flow_hr = flow_raw[..., :2] * 20.0 * (HH / H)
         z = jax.nn.relu(flow_raw[..., 2:3]) * alpha
@@ -324,7 +365,7 @@ class MoTIF(nn.Module):
 
         # ---- splat (Ours.py:799-806) ----
         if use_gt:
-            splat_flow = jnp.repeat(flow_gt, G, axis=0).reshape(2 * B * N * G, HH, WW, 2)
+            splat_flow = jnp.repeat(flow_gt, G, axis=0).reshape(n * B * N * G, HH, WW, 2)
         else:
             splat_flow = flow_hr
         output, warped_z, z_max, count = splat_fused(feat_hr, splat_flow, z)
@@ -332,12 +373,12 @@ class MoTIF(nn.Module):
         # ---- merge directions + extras (Ours.py:810-836) ----
         Cf = output.shape[-1]
         if not self.warp_to_many:
-            output = output.reshape(2, B * N * G, HH, WW, Cf).sum(0)
-            warped_z = warped_z.reshape(2, B * N * G, HH, WW, 1).sum(0)
+            output = output.reshape(n, B * N * G, HH, WW, Cf).sum(0)
+            warped_z = warped_z.reshape(n, B * N * G, HH, WW, 1).sum(0)
             warped_z = jnp.where(warped_z == 0.0, 1.0, warped_z)
             output = output / warped_z
-            z_max = z_max.reshape(2, B * N * G, HH, WW, 1).max(0)
-            count = count.reshape(2, B * N * G, HH, WW, 1).sum(0)
+            z_max = z_max.reshape(n, B * N * G, HH, WW, 1).max(0)
+            count = count.reshape(n, B * N * G, HH, WW, 1).sum(0)
         else:
             warped_z = jnp.where(warped_z == 0.0, 1.0, warped_z)
             output = output / warped_z
@@ -350,7 +391,7 @@ class MoTIF(nn.Module):
             extra = jnp.concatenate([count / 16.0, warped_z_masked / count_safe], -1)
 
         # ---- synthesis (Ours.py:838-856) ----
-        res_rep = jnp.repeat(q_residual, N, axis=0).reshape(B * N, HH, WW, -1)
+        res_rep = q_residual.reshape(B * N, HH, WW, -1)  # already per-time
         tmap = target_t.reshape(B * N, 1, 1, 1) * jnp.ones((1, HH, WW, 1), x.dtype)
         if not self.warp_to_many:
             synth_in = jnp.concatenate([
@@ -359,9 +400,9 @@ class MoTIF(nn.Module):
                 res_rep, tmap], -1)
         else:
             synth_in = jnp.concatenate([
-                output.reshape(2, B * N, HH, WW, -1).transpose(1, 0, 2, 3, 4)
+                output.reshape(n, B * N, HH, WW, -1).transpose(1, 0, 2, 3, 4)
                       .reshape(B * N, HH, WW, -1),
-                extra.reshape(2, B * N, HH, WW, -1).transpose(1, 0, 2, 3, 4)
+                extra.reshape(n, B * N, HH, WW, -1).transpose(1, 0, 2, 3, 4)
                       .reshape(B * N, HH, WW, -1),
                 res_rep, tmap], -1)
 

@@ -116,9 +116,14 @@ class Trainer:
         model, out_hw, iters, flow_loss = self.model, self.out_hw, self.iters, self.flow_loss
 
         def loss_fn(params, batch, step):
+            # precomputed flows (Ours_44 / Vimeo7 npys) ride along if present
+            flows = None
+            if "flow" in batch or "flow_gt" in batch:
+                flows = (batch.get("flow"), batch.get("flow_gt"))
             frames, flow, flow_gt = model.apply(
                 {"params": params}, batch["lq"], batch["times"], out_hw,
-                use_gt=use_gt, iters=iters, target_frames=batch["gt"], train=True)
+                use_gt=use_gt, iters=iters, target_frames=batch["gt"],
+                train=True, flows=flows)
             gt = batch["gt"][:, 1:-1]                       # (B, N, HH, WW, 3)
             n = frames.shape[0]
             l_pix = 0.0
@@ -163,7 +168,8 @@ class Trainer:
         if use_gt not in self._steps:
             self._steps[use_gt] = self._build_step(use_gt)
         arrays = {k: v for k, v in batch.items()
-                  if hasattr(v, "shape") and k in ("lq", "gt", "times")}
+                  if hasattr(v, "shape") and k in ("lq", "gt", "times",
+                                                   "flow", "flow_gt")}
         new_state, aux = self._steps[use_gt](state, arrays)
         aux["use_gt"] = use_gt
         return new_state, aux

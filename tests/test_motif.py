@@ -104,3 +104,42 @@ def test_motif_gradients_flow(tiny_motif):
         total = sum(float(jnp.abs(l).sum()) for l in leaves)
         assert total > 0.0, f"zero grads in {key}"
     assert float(jnp.abs(grads["alpha"]).sum()) > 0.0
+
+
+def test_motif_44_variant(rng):
+    """4-anchor Ours_44 variant (Ours_44.py): 16 flow pairs, per-time
+    residual selection, N=1 per call."""
+    model = MoTIF(setting=5, n_anchors=4)
+    B, N_in, H, W = 1, 4, 16, 16
+    HH, WW = 64, 64
+    x = jnp.asarray(np.random.default_rng(4).random((B, N_in, H, W, 3), dtype=np.float32))
+    tt = jnp.asarray([[0.5]], dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, tt, (HH, WW), iters=2)["params"]
+    frames, flow, _ = model.apply({"params": params}, x, tt, (HH, WW), iters=2)
+    assert frames.shape == (1, B, HH, WW, 3)
+    assert flow.shape == (4 * B, HH, WW, 2)
+    assert np.all(np.isfinite(np.asarray(frames)))
+    # param tree identical to the 2-anchor model (only wiring differs)
+    m2 = MoTIF(setting=5, n_anchors=2)
+    p2 = m2.init(jax.random.PRNGKey(0),
+                 x, jnp.asarray([[0.2, 0.8]], jnp.float32), (HH, WW), iters=2)["params"]
+    from motif_tpu import checkpoint
+    assert checkpoint.verify_port(p2, params) == []
+
+
+def test_motif_44_precomputed_flows(rng):
+    """Ours_44 with dataset-provided lr_flow / hr flow_GT (training path)."""
+    model = MoTIF(setting=5, n_anchors=4)
+    B, N_in, H, W, N = 1, 4, 16, 16, 1
+    HH, WW = 64, 64
+    r = np.random.default_rng(5)
+    x = jnp.asarray(r.random((B, N_in, H, W, 3), dtype=np.float32))
+    tt = jnp.asarray([[1.0 / 6.0]], dtype=jnp.float32)
+    lr_flow = jnp.asarray(r.standard_normal((B, 16, H, W, 2)).astype(np.float32))
+    flow_gt = jnp.asarray(r.standard_normal((B, N, 4, HH, WW, 2)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x, tt, (HH, WW), iters=2)["params"]
+    frames, flow, fgt = model.apply({"params": params}, x, tt, (HH, WW),
+                                    use_gt=True, iters=2, train=True,
+                                    flows=(lr_flow, flow_gt))
+    assert frames.shape == (N, B, HH, WW, 3)
+    assert np.all(np.isfinite(np.asarray(frames)))
