@@ -9,6 +9,8 @@ from motif_tpu.data.datasets import (  # noqa: F401
     WindowEvalDataset,
     Vimeo7Dataset,
     AdobeArbitraryDataset,
+    AdobeSeptupletDataset,
+    VimeoArbitraryDataset,
     ArbitraryScaleTestDataset,
     create_dataset,
 )

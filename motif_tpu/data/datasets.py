@@ -269,6 +269,100 @@ class AdobeArbitraryDataset:
 
 
 @dataclass
+class AdobeSeptupletDataset:
+    """Adobe240 fixed-scale training (Adobe_dataset.py / _4 / _flow):
+    septuplet windows with stride interval+1, LQ = frames [0,2,4,6] from the
+    LQ root, random sample_num GT times at i/8 plus duplicated endpoints."""
+    gt_root: str
+    lq_root: str
+    video_list_file: str | None = None
+    interval: int = 7
+    sample_num: int = 7
+    gt_size: int = 128
+    scale: int = 4
+    phase: str = "train"
+    seed: int | None = None
+
+    def __post_init__(self):
+        if self.video_list_file:
+            with open(self.video_list_file) as f:
+                videos = [l.strip() for l in f if l.strip()]
+        else:
+            videos = sorted(os.listdir(self.gt_root))
+        self.file_list, self.gt_list = [], []
+        for video in videos:
+            frames = _list_frames(osp.join(self.gt_root, video))
+            index = 0
+            while index + self.interval + 1 < len(frames):
+                window = frames[index:index + self.interval + 2]
+                self.file_list.append(
+                    [osp.join(video, window[i]) for i in (0, 2, 4, 6)])
+                self.gt_list.append([osp.join(video, f) for f in window[:9]])
+                index += self.interval + 1
+        self._rng = random.Random(self.seed)
+
+    def __len__(self):
+        return len(self.file_list)
+
+    def __getitem__(self, index: int) -> dict:
+        lqs = [read_img(osp.join(self.lq_root, p)) for p in self.file_list[index]]
+        gt_paths = [osp.join(self.gt_root, p) for p in self.gt_list[index]]
+        m = len(gt_paths)
+        picked = sorted(self._rng.sample(range(m), min(self.sample_num, m)))
+        idx = [0] + picked + [m - 1]
+        gts = [read_img(gt_paths[i]) for i in idx]
+        times = np.asarray([i / 8.0 for i in picked], np.float32)
+
+        if self.phase == "train":
+            H, W = lqs[0].shape[:2]
+            lq_size = self.gt_size // self.scale
+            rh = self._rng.randint(0, max(0, H - lq_size))
+            rw = self._rng.randint(0, max(0, W - lq_size))
+            lqs = [v[rh:rh + lq_size, rw:rw + lq_size] for v in lqs]
+            rh4, rw4 = rh * self.scale, rw * self.scale
+            gts = [v[rh4:rh4 + self.gt_size, rw4:rw4 + self.gt_size] for v in gts]
+        return {"lq": np.stack(lqs, 0), "gt": np.stack(gts, 0),
+                "times": times, "key": self.file_list[index][0]}
+
+
+@dataclass
+class VimeoArbitraryDataset:
+    """Vimeo arbitrary-scale training (Vimeo_dataset_arbitrary.py): returns
+    raw HR frame lists for the batch-level collate (collate_function_vimeo,
+    data/__init__.py:133-173 → pipeline.collate_adobe_arbitrary with
+    lq_size=32)."""
+    gt_root: str
+    keys: Sequence[str] | str = "sep_trainlist.txt"
+    sample_num: int = 7
+    seed: int | None = None
+
+    def __post_init__(self):
+        if isinstance(self.keys, str):
+            path = self.keys if osp.exists(self.keys) else osp.join(
+                osp.dirname(self.gt_root.rstrip("/")), self.keys)
+            with open(path) as f:
+                self.keys = [l.strip().replace("/", "_") for l in f if l.strip()]
+        self._rng = random.Random(self.seed)
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, index: int) -> dict:
+        name_a, name_b = self.keys[index].split("_")
+        d = osp.join(self.gt_root, name_a, name_b)
+        frames = [read_img(osp.join(d, f"im{v}.png")) for v in range(1, 8)]
+        picked = sorted(self._rng.sample(range(9), self.sample_num))
+        # 9 GT slots = [im1] + im1..7 + [im7] like the reference's i/8 grid
+        gts_all = [frames[0]] + frames + [frames[6]]
+        idx = [0] + picked + [8]
+        gt = [gts_all[i] for i in idx]
+        lq = [frames[i] for i in (0, 2, 4, 6)]
+        times = np.asarray([i / 8.0 for i in picked], np.float32)
+        return {"lq_raw": lq, "gt_raw": gt, "times": times,
+                "key": self.keys[index]}
+
+
+@dataclass
 class ArbitraryScaleTestDataset:
     """GoPro arbitrary space-time test (Adobe_arbitrary_test.py +
     collate_function_test): interval = time-1, all GT frames, crop 720x1248,
@@ -338,6 +432,17 @@ def create_dataset(opt: dict):
     if mode == "Adobe_a":
         return AdobeArbitraryDataset(opt["dataroot_GT"],
                                      video_list_file=opt.get("video_list"),
+                                     sample_num=opt.get("sample_num", 7))
+    if mode in ("Adobe", "Adobe_4", "Adobe_flow"):
+        return AdobeSeptupletDataset(opt["dataroot_GT"], opt["dataroot_LQ"],
+                                     video_list_file=opt.get("video_list"),
+                                     sample_num=opt.get("sample_num", 7),
+                                     gt_size=opt.get("GT_size", 128),
+                                     scale=opt.get("scale", 4),
+                                     phase=opt.get("phase", "train"))
+    if mode == "vimeo_a":
+        return VimeoArbitraryDataset(opt["dataroot_GT"],
+                                     keys=opt.get("cache_keys") or "sep_trainlist.txt",
                                      sample_num=opt.get("sample_num", 7))
     if mode == "Gopro_test_a":
         return ArbitraryScaleTestDataset(opt["dataroot_GT"],
