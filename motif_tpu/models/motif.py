@@ -368,7 +368,12 @@ class MoTIF(nn.Module):
             splat_flow = jnp.repeat(flow_gt, G, axis=0).reshape(n * B * N * G, HH, WW, 2)
         else:
             splat_flow = flow_hr
-        output, warped_z, z_max, count = splat_fused(feat_hr, splat_flow, z)
+        # z = relu(x)*alpha is <= 0 whenever alpha <= 0 (and z == 0 when
+        # predict_Z is off), making the max-splat identically 1 — an exact
+        # runtime shortcut (see splat_fused docstring).
+        z_all_nonpos = (alpha[0] <= 0.0) if self.predict_Z else jnp.asarray(True)
+        output, warped_z, z_max, count = splat_fused(
+            feat_hr, splat_flow, z, z_nonpositive=z_all_nonpos)
 
         # ---- merge directions + extras (Ours.py:810-836) ----
         Cf = output.shape[-1]

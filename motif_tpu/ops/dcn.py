@@ -72,6 +72,72 @@ def _hat(pos: jax.Array, size: int) -> jax.Array:
     return jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - s))
 
 
+def _hat_grad(pos: jax.Array, size: int) -> jax.Array:
+    """d hat / d pos, floor-corner convention matching the CUDA grads
+    (dmcn_get_coordinate_weight): -1 on the floor corner (0 <= d < 1),
+    +1 on the ceil corner (-1 <= d < 0), 0 elsewhere."""
+    s = jnp.arange(size, dtype=jnp.float32)
+    d = pos[..., None] - s
+    return jnp.where((d >= 0.0) & (d < 1.0), -1.0,
+                     jnp.where((d >= -1.0) & (d < 0.0), 1.0, 0.0))
+
+
+@jax.custom_vjp
+def _sample_onehot(x: jax.Array, py: jax.Array, px: jax.Array) -> jax.Array:
+    """Bilinear sampling of grouped features at (py, px) via one-hot
+    contractions, batched over deformable groups in single einsums.
+    x (B,H,W,G*cg); py/px (B,G,Q) → val (B,Q,G,cg).
+
+    custom_vjp: analytic backward with the same batched-matmul structure."""
+    B, H, W, Cin = x.shape
+    G, Q = py.shape[1], py.shape[2]
+    cg = Cin // G
+    vx = _hat(px, W)                                   # (B, G, Q, W)
+    vy = _hat(py, H)                                   # (B, G, Q, H)
+    # x → (B, G, W, H*cg)
+    xp = x.reshape(B, H, W, G, cg).transpose(0, 3, 2, 1, 4).reshape(B, G, W, H * cg)
+    t1 = jnp.einsum("bgqw,bgwk->bgqk", vx, xp)         # batched MXU matmul
+    t1 = t1.reshape(B, G, Q, H, cg)
+    val = jnp.einsum("bgqhc,bgqh->bgqc", t1, vy)
+    return val.transpose(0, 2, 1, 3)                   # (B, Q, G, cg)
+
+
+def _sample_onehot_fwd(x, py, px):
+    return _sample_onehot(x, py, px), (x, py, px)
+
+
+def _sample_onehot_bwd(res, g_val):
+    x, py, px = res
+    B, H, W, Cin = x.shape
+    G, Q = py.shape[1], py.shape[2]
+    cg = Cin // G
+    gv = g_val.transpose(0, 2, 1, 3)                   # (B, G, Q, cg)
+    vx = _hat(px, W)                                   # (B, G, Q, W)
+    vy = _hat(py, H)                                   # (B, G, Q, H)
+    xg = x.reshape(B, H, W, G, cg)
+
+    # t2[b,g,q,x,c] = sum_y vy X     (for dvx)
+    xh = xg.transpose(0, 3, 1, 2, 4).reshape(B, G, H, W * cg)
+    t2 = jnp.einsum("bgqy,bgyk->bgqk", vy, xh).reshape(B, G, Q, W, cg)
+    dvx = jnp.einsum("bgqxc,bgqc->bgqx", t2, gv)
+    dpx = jnp.sum(dvx * _hat_grad(px, W), axis=-1)     # (B, G, Q)
+
+    # t1[b,g,q,h,c] = sum_x vx X     (for dvy)
+    xp = xg.transpose(0, 3, 2, 1, 4).reshape(B, G, W, H * cg)
+    t1 = jnp.einsum("bgqw,bgwk->bgqk", vx, xp).reshape(B, G, Q, H, cg)
+    dvy = jnp.einsum("bgqhc,bgqc->bgqh", t1, gv)
+    dpy = jnp.sum(dvy * _hat_grad(py, H), axis=-1)
+
+    # dX[b,y,x,g,c] = sum_q vy[b,g,q,y] vx[b,g,q,x] gv[b,g,q,c]
+    u = (vx[..., None] * gv[:, :, :, None, :]).reshape(B, G, Q, W * cg)
+    dx = jnp.einsum("bgqy,bgqk->bgyk", vy, u).reshape(B, G, H, W, cg)
+    dx = dx.transpose(0, 2, 3, 1, 4).reshape(B, H, W, Cin)
+    return dx, dpy, dpx
+
+
+_sample_onehot.defvjp(_sample_onehot_fwd, _sample_onehot_bwd)
+
+
 def _dcn_v2_onehot(x, offset, mask, weight, bias, K, stride, padding,
                    dilation, G):
     B, H, W, Cin = x.shape
@@ -84,16 +150,7 @@ def _dcn_v2_onehot(x, offset, mask, weight, bias, K, stride, padding,
     py = py.transpose(0, 3, 1, 2, 4).reshape(B, G, Q)
     px = px.transpose(0, 3, 1, 2, 4).reshape(B, G, Q)
 
-    xg = x.reshape(B, H, W, G, cg)
-    outs = []
-    for g in range(G):
-        vx = _hat(px[:, g], W)                         # (B, Q, W)
-        vy = _hat(py[:, g], H)                         # (B, Q, H)
-        xp = xg[:, :, :, g].transpose(0, 2, 1, 3).reshape(B, W, H * cg)
-        t1 = jnp.einsum("bqw,bwk->bqk", vx, xp)        # (B, Q, H*cg) — MXU
-        t1 = t1.reshape(B, Q, H, cg)
-        outs.append(jnp.einsum("bqhc,bqh->bqc", t1, vy))
-    val = jnp.stack(outs, axis=2)                      # (B, Q, G, cg)
+    val = _sample_onehot(x, py, px)                    # (B, Q, G, cg)
     val = val.reshape(B, Ho, Wo, K * K, G, cg).transpose(0, 1, 2, 4, 3, 5)
     val = val * mask.reshape(B, Ho, Wo, G, K * K, 1).astype(val.dtype)
     w = weight.reshape(K * K, G, cg, weight.shape[-1])

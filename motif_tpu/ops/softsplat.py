@@ -120,7 +120,8 @@ def splat_count(flow: jax.Array) -> jax.Array:
     return jax.lax.stop_gradient(out.reshape(B, H, W, 1))
 
 
-def splat_fused(img: jax.Array, flow: jax.Array, z: jax.Array):
+def splat_fused(img: jax.Array, flow: jax.Array, z: jax.Array,
+                z_nonpositive: jax.Array | None = None):
     """Fused softmax-splat + max-splat + count-splat sharing one corner
     computation (the reference launches three CuPy kernels; Ours.py:799-806).
 
@@ -132,7 +133,12 @@ def splat_fused(img: jax.Array, flow: jax.Array, z: jax.Array):
 
     The count channel rides the same scatter-add as the sum (its update is
     the corner validity instead of the bilinear weight); the max reduction
-    needs its own scatter.
+    needs its own scatter — UNLESS z <= 0 everywhere, in which case
+    exp(z)*w <= 1 and z_max == 1 identically (the max-splat output is
+    initialised to ones, softsplat_max_cp.py:254). Pass `z_nonpositive`
+    (a traced scalar bool, e.g. alpha <= 0 in MoTIF where z = relu(x)*alpha)
+    to skip the max scatter at runtime via lax.cond — exact, saves ~25%
+    of the splat cost in practice.
     """
     B, H, W, C = img.shape
     ez = jnp.exp(z)
@@ -150,9 +156,17 @@ def splat_fused(img: jax.Array, flow: jax.Array, z: jax.Array):
     acc = acc.reshape(B, H, W, C + 2)
     out, norm, count = acc[..., :C], acc[..., C:C + 1], acc[..., C + 1:]
 
-    mx = jnp.where(valid, ez[:, None, :, :, 0] * w, -jnp.inf).reshape(B, -1, 1)
-    z_max = jnp.ones((B, H * W, 1), dtype=img.dtype)
-    z_max = z_max.at[jnp.arange(B)[:, None], idx].max(mx).reshape(B, H, W, 1)
+    def max_splat(_):
+        mx = jnp.where(valid, ez[:, None, :, :, 0] * w, -jnp.inf).reshape(B, -1, 1)
+        zm = jnp.ones((B, H * W, 1), dtype=img.dtype)
+        return zm.at[jnp.arange(B)[:, None], idx].max(mx).reshape(B, H, W, 1)
+
+    if z_nonpositive is None:
+        z_max = max_splat(None)
+    else:
+        z_max = jax.lax.cond(z_nonpositive,
+                             lambda _: jnp.ones((B, H, W, 1), img.dtype),
+                             max_splat, operand=None)
     return out, norm, jax.lax.stop_gradient(z_max), jax.lax.stop_gradient(count)
 
 

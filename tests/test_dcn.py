@@ -89,3 +89,34 @@ def test_dcn_v2_zero_offset_is_plain_conv(rng):
                      torch.from_numpy(weight).permute(3, 2, 0, 1),
                      torch.from_numpy(bias), padding=1)
     np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy(), atol=1e-4, rtol=1e-4)
+
+
+def test_dcn_onehot_gradients_match_gather_backend(rng):
+    """The custom_vjp backward of the one-hot sampler must match autodiff of
+    the gather transcription (the CUDA col2im grads) for input, offset,
+    mask and weight."""
+    import jax
+    import jax.numpy as jnp
+
+    B, H, W, Cin, Cout, K, G = 1, 6, 7, 4, 3, 3, 2
+    x = rng.standard_normal((B, H, W, Cin)).astype(np.float32)
+    # avoid integer sampling positions (gradient kinks)
+    offset = (rng.standard_normal((B, H, W, G * K * K * 2)) * 1.3 + 0.21).astype(np.float32)
+    mask = rng.random((B, H, W, G * K * K), dtype=np.float32)
+    weight = rng.standard_normal((K, K, Cin, Cout)).astype(np.float32)
+    bias = rng.standard_normal((Cout,)).astype(np.float32)
+    cot = rng.standard_normal((B, H, W, Cout)).astype(np.float32)
+
+    def loss(backend):
+        def f(x, o, m, w, b):
+            out = dcn_v2(x, o, m, w, b, kernel_size=K, padding=1,
+                         deformable_groups=G, backend=backend)
+            return jnp.sum(out * cot)
+        return f
+
+    args = tuple(map(jnp.asarray, (x, offset, mask, weight, bias)))
+    g1 = jax.grad(loss("onehot"), argnums=(0, 1, 2, 3, 4))(*args)
+    g2 = jax.grad(loss("gather"), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)

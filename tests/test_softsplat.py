@@ -123,3 +123,25 @@ def test_splat_fused_matches_separate_ops(rng):
                                np.asarray(softsplat.splat_max(jnp.exp(zz), f)), atol=1e-6)
     np.testing.assert_allclose(np.asarray(count),
                                np.asarray(softsplat.splat_count(f)), atol=1e-6)
+
+
+def test_splat_fused_nonpositive_shortcut(rng):
+    """z <= 0 ⇒ z_max ≡ 1 and the cond shortcut must match the full path;
+    with z > 0 somewhere, the flag False path computes the true max."""
+    values, flow = _rand_case(rng, C=3)
+    z_neg = -(rng.random((2, 6, 7, 1), dtype=np.float32))
+    v, f = jnp.asarray(values), jnp.asarray(flow)
+
+    full = softsplat.splat_fused(v, f, jnp.asarray(z_neg))
+    short = softsplat.splat_fused(v, f, jnp.asarray(z_neg),
+                                  z_nonpositive=jnp.asarray(True))
+    for a, b in zip(full, short):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(short[2]), 1.0)
+
+    z_pos = rng.random((2, 6, 7, 1), dtype=np.float32)
+    full_p = softsplat.splat_fused(v, f, jnp.asarray(z_pos),
+                                   z_nonpositive=jnp.asarray(False))
+    np.testing.assert_allclose(
+        np.asarray(full_p[2]),
+        np.asarray(softsplat.splat_max(jnp.exp(jnp.asarray(z_pos)), f)), atol=1e-6)
