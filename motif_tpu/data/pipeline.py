@@ -30,15 +30,24 @@ def collate_stack(items: list[dict]) -> dict:
 
 
 def collate_adobe_arbitrary(items: list[dict], lq_size: int = 64,
-                            rng: random.Random | None = None) -> dict:
+                            rng: random.Random | None = None,
+                            size_buckets: int | None = 16) -> dict:
     """collate_function (data/__init__.py:91-131): batch-level random
     d_scale ∈ [2,4], GT crop of size floor(lq*d), MATLAB-bicubic LQ
-    1/(2d) and GT 1/2 downsample, joint flip/rot augmentation."""
+    1/(2d) and GT 1/2 downsample, joint flip/rot augmentation.
+
+    TPU note: the reference samples d_scale continuously, which under XLA
+    would recompile the train step on every batch. size_buckets rounds the
+    GT crop down to a multiple (16 → ~9 distinct shapes over the [2,4]
+    sweep, one compile each); set None for exact reference behaviour."""
     from motif_tpu import native
 
     rng = rng or random
     d_scale = rng.uniform(2, 4)
     gt_size = int(np.floor(lq_size * d_scale))
+    if size_buckets:
+        gt_size = max(size_buckets, gt_size // size_buckets * size_buckets)
+        d_scale = gt_size / lq_size
 
     ref = items[0]["gt_raw"][0]
     H, W = ref.shape[:2]
