@@ -8,11 +8,8 @@ PCD offsets with a continuous time code (TMB)."""
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from motif_tpu.models.layers import (Conv2d, ResidualBlockNoBN, lrelu,

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from motif_tpu.ops.resize import avg_pool2d
-from motif_tpu.ops.warp import bilinear_sampler
 
 
 def all_pairs_corr(fmap1: jax.Array, fmap2: jax.Array) -> jax.Array:

@@ -15,7 +15,6 @@ dominated elsewhere; inference is where the fusion pays).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -13,9 +13,8 @@ Reproduces the reference training semantics exactly
 
 from __future__ import annotations
 
-import functools
 import random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 import jax
