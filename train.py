@@ -78,6 +78,12 @@ def main():
     save_freq = int((opt.get("logger") or {}).get("save_checkpoint_freq") or 5000)
     print_freq = int((opt.get("logger") or {}).get("print_freq") or 100)
 
+    # scalar metrics stream (TensorBoard-replacement; one JSON per log step)
+    import json
+    metrics_path = os.path.join(opt["path"]["experiments_root"] or ".",
+                                "train_log.jsonl")
+    metrics_f = open(metrics_path, "a") if jax.process_index() == 0 else None
+
     step = int(state.step)
     epoch = 0
     t0 = time.time()
@@ -88,10 +94,19 @@ def main():
             state, aux = trainer.step(state, batch)
             step = int(state.step)
             if step % print_freq == 0:
+                s_it = (time.time() - t0) / max(1, print_freq)
                 logger.info("step %d/%d loss %.4f l_pix %.4f lr %.2e use_gt %s (%.2f s/it)",
                             step, niter, float(aux["loss"]), float(aux["l_pix"]),
-                            float(aux["lr"]), aux["use_gt"],
-                            (time.time() - t0) / max(1, print_freq))
+                            float(aux["lr"]), aux["use_gt"], s_it)
+                if metrics_f:
+                    metrics_f.write(json.dumps({
+                        "step": step, "loss": float(aux["loss"]),
+                        "l_pix": float(aux["l_pix"]),
+                        "flow_l": float(aux.get("flow_l", 0.0)),
+                        "lr": float(aux["lr"]), "use_gt": aux["use_gt"],
+                        "s_per_it": s_it, "epoch": epoch,
+                        "time": time.time()}) + "\n")
+                    metrics_f.flush()
                 t0 = time.time()
             if step % save_freq == 0 and jax.process_index() == 0:
                 checkpoint.save_train_state(ckpt_dir, step, state)
