@@ -12,6 +12,8 @@ import os
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("-opt", type=str, default="test.yml")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="orbax step/params dir or reference .pth to load")
     p.add_argument("--max_clips", type=int, default=2)
     p.add_argument("--out_dir", type=str, default="flow_out")
     args = p.parse_args()
@@ -35,6 +37,16 @@ def main():
     model = define_g(opt["network_G"])
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 16, 16, 3)),
                         jnp.zeros((1, 2)), (64, 64), iters=1)["params"]
+
+    ckpt = args.checkpoint or opt["path"].get("pretrain_model_G")
+    if ckpt and os.path.exists(ckpt):
+        from motif_tpu import checkpoint
+
+        params = checkpoint.load_params(ckpt, params)
+        print(f"loaded checkpoint {ckpt}", flush=True)
+    elif ckpt:
+        print(f"WARNING: checkpoint {ckpt} not found — flows come from "
+              "randomly initialized weights", flush=True)
 
     os.makedirs(args.out_dir, exist_ok=True)
     scale = int(opt.get("scale") or 4)

@@ -111,17 +111,62 @@ def verify_port(params: dict, ported: dict, prefix: str = "") -> list[str]:
     return problems
 
 
+def _merge_params(target, ported):
+    """Use ported leaves where present, keep target elsewhere."""
+    if not isinstance(target, dict):
+        return ported if ported is not None else target
+    return {k: _merge_params(target[k], ported.get(k)) if k in ported
+            else target[k] for k in target}
+
+
+def load_params(path: str, params: dict, logger=None) -> dict:
+    """Load model params from either a reference torch .pth (via the porting
+    bridge) or a native orbax checkpoint dir, merged over `params` (an
+    initialized tree providing structure). The CLI-facing equivalent of the
+    reference load_network (base_model.py:89-101)."""
+    if path.endswith((".pth", ".pt")):
+        ported = load_reference_checkpoint(path)
+        problems = verify_port(params, ported)
+        missing = [p for p in problems if not p.startswith("extra")]
+        if missing and logger:
+            logger.warning("port issues: %s", missing[:10])
+        if logger:
+            extra = [p for p in problems if p.startswith("extra")]
+            logger.info("loaded torch checkpoint %s (%d unused keys)",
+                        path, len(extra))
+        return _merge_params(params, ported)
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path))
+    # accept either a bare params tree or a full TrainState-like dict
+    if isinstance(restored, dict) and "params" in restored:
+        restored = restored["params"]
+    if logger:
+        logger.info("loaded orbax checkpoint %s", path)
+    return _merge_params(params, restored)
+
+
 # ---------------------------------------------------------------------------
 # orbax native checkpointing (weights + opt state + step), reference
 # base_model.py:79-123 equivalent
 # ---------------------------------------------------------------------------
 
-def save_train_state(ckpt_dir: str, step: int, state) -> None:
+def save_train_state(ckpt_dir: str, step: int, state,
+                     meta: dict | None = None) -> None:
+    """Orbax state checkpoint + optional JSON meta sidecar (epoch etc. —
+    the reference's .state file stores epoch alongside iter,
+    base_model.py:103-112)."""
+    import json
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state)
+    if meta is not None:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
 
 
 def restore_train_state(ckpt_dir: str, step: int, target):
@@ -130,6 +175,16 @@ def restore_train_state(ckpt_dir: str, step: int, target):
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path, target)
+
+
+def restore_meta(ckpt_dir: str, step: int) -> dict:
+    import json
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}")) + ".meta.json"
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
 
 
 def latest_step(ckpt_dir: str) -> int | None:

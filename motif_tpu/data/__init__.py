@@ -14,4 +14,8 @@ from motif_tpu.data.datasets import (  # noqa: F401
     ArbitraryScaleTestDataset,
     create_dataset,
 )
-from motif_tpu.data.pipeline import BatchLoader, device_prefetch  # noqa: F401
+from motif_tpu.data.pipeline import (  # noqa: F401
+    BatchLoader,
+    Subset,
+    device_prefetch,
+)

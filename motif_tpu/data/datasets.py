@@ -420,6 +420,9 @@ def create_dataset(opt: dict):
         return WindowEvalDataset(opt["dataroot_GT"], opt["dataroot_LQ"], videos,
                                  ref_num=opt.get("ref_num", 4), **p)
     if mode == "vimeo":
+        # The reference Vimeo7_dataset ALWAYS loads the precomputed flow npys
+        # (Vimeo7_dataset.py:143,152); `load_flows: false` in the yml opts out
+        # (e.g. when training a 2-anchor model that computes teacher flow live).
         return Vimeo7Dataset(opt["dataroot_GT"], opt["dataroot_LQ"],
                              keys=opt.get("cache_keys") or "sep_trainlist.txt",
                              gt_size=opt.get("GT_size", 128),
@@ -428,6 +431,7 @@ def create_dataset(opt: dict):
                              random_reverse=opt.get("random_reverse", True),
                              use_flip=opt.get("use_flip", True),
                              use_rot=opt.get("use_rot", True),
+                             load_flows=bool(opt.get("load_flows", False)),
                              phase=opt.get("phase", "train"))
     if mode == "Adobe_a":
         return AdobeArbitraryDataset(opt["dataroot_GT"],

@@ -87,6 +87,22 @@ def collate_adobe_arbitrary(items: list[dict], lq_size: int = 64,
             "out_hw": (gts.shape[2], gts.shape[3])}
 
 
+class Subset:
+    """Index-restricted view of a dataset — used for per-host sharding of
+    the sample list in multihost runs (the DistIterSampler rank striding,
+    reference data/data_sampler.py:53-60)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = np.asarray(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i: int):
+        return self.dataset[int(self.indices[i])]
+
+
 class BatchLoader:
     """Iterates a dataset in batches on a background thread."""
 
@@ -142,10 +158,17 @@ def device_prefetch(it: Iterable[dict], sharding=None, size: int = 2) -> Iterato
     buf: list[dict] = []
     it = iter(it)
 
+    multiproc = jax.process_count() > 1
+
     def put(batch):
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         rest = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
-        if sharding is not None:
+        if sharding is not None and multiproc:
+            # multihost: each process holds its shard of the global batch;
+            # assemble the distributed array without gathering to one host.
+            arrays = {k: jax.make_array_from_process_local_data(sharding, v)
+                      for k, v in arrays.items()}
+        elif sharding is not None:
             arrays = jax.device_put(arrays, sharding)
         else:
             arrays = jax.device_put(arrays)

@@ -41,33 +41,82 @@ class EvalResults:
 
 
 class Evaluator:
-    """Jit-cached evaluator for MoTIF-style models.
+    """Jit-cached evaluator with the reference's per-family test dispatch
+    (VideoSR_base_model.py:169-200):
+
+      * Ours family — times chunked (3 for Ours, 1 for Ours_44 — the
+        reference calls Ours_44 once per time, :182-187), iter=4;
+      * LIIF (VideoINR) — per-time list output stacked (:178-179);
+      * EDVR — single center output repeated over the N target times (:172-175);
+      * Super_SloMo — called as (x, factor=len(times)-1) (:180-181), the
+        UNets sized to the eval resolution;
+      * TMNet — interior times only (:196-197);
+      * ZSM — fixed (B, 2N-1) output, no times argument (:176-177).
 
     Caches one compiled forward per (lq_shape, n_times_chunk, out_hw)
     bucket — the TPU analogue of the reference's implicit cudnn autotune.
     """
 
     def __init__(self, model, params, scale: int = 4, iters: int = 4,
-                 chunk: int = 3):
+                 chunk: int = 3, family: str = "Ours"):
         self.model = model
         self.params = params
         self.scale = scale
         self.iters = iters
+        if family in ("Ours_44", "Ours_4"):
+            self.family = family
+            chunk = 1    # per-time-step forward (VideoSR_base_model.py:182-187)
+        elif family.startswith("Ours"):
+            self.family = "Ours"
+        else:
+            self.family = family
         self.chunk = chunk
         self._fns: dict[Any, Any] = {}
 
     def _forward(self, lq_shape, n_times, out_hw):
         key = (lq_shape, n_times, out_hw)
         if key not in self._fns:
-            model, iters = self.model, self.iters
+            model, iters, family = self.model, self.iters, self.family
 
-            def fwd(params, lq, times):
-                frames, _, _ = model.apply({"params": params}, lq, times,
-                                           out_hw, use_gt=False, iters=iters)
-                return frames
+            if family.startswith("Ours"):
+                def fwd(params, lq, times):
+                    frames, _, _ = model.apply({"params": params}, lq, times,
+                                               out_hw, use_gt=False, iters=iters)
+                    return frames
+            elif family == "LIIF":
+                def fwd(params, lq, times):
+                    preds = model.apply({"params": params}, lq, times, out_hw)
+                    return jnp.stack(preds, 0)          # list → (N, B, HH, WW, 3)
+            elif family == "EDVR":
+                def fwd(params, lq, times):
+                    out = model.apply({"params": params}, lq)  # (B, HH, WW, 3)
+                    return jnp.repeat(out[None], n_times, 0)
+            elif family == "Super_SloMo":
+                sized = self.model.clone(h0=out_hw[0], w0=out_hw[1])
+
+                def fwd(params, lq, times):
+                    out = sized.apply({"params": params},
+                                      lq[:, [0, -1]], n_times - 1)
+                    return out.transpose(1, 0, 2, 3, 4)  # (B,N,...) → (N,B,...)
+            elif family == "TMNet":
+                def fwd(params, lq, times):
+                    out = model.apply({"params": params}, lq, times[:, 1:-1])
+                    return out.transpose(1, 0, 2, 3, 4)
+            elif family in ("ZSM", "Zooming"):
+                def fwd(params, lq, times):
+                    out = model.apply({"params": params}, lq)
+                    return out.transpose(1, 0, 2, 3, 4)
+            else:
+                raise NotImplementedError(f"eval family [{family}]")
 
             self._fns[key] = jax.jit(fwd)
         return self._fns[key]
+
+    @property
+    def _chunked(self) -> bool:
+        """Only the Ours family chunks over times; the other families consume
+        all target times in one call (VideoSR_base_model.py:172-181,196)."""
+        return self.family.startswith("Ours")
 
     def infer(self, lq: np.ndarray, times: np.ndarray, out_hw) -> np.ndarray:
         """lq (B, N_in, H, W, 3); times (B, N). Pads LQ to /4, chunks times
@@ -83,9 +132,10 @@ class Evaluator:
 
         n = times.shape[1]
         outs = []
-        for start in range(0, n, self.chunk):
-            t = times[:, start:start + self.chunk]
-            pad = self.chunk - t.shape[1] if n > self.chunk else 0
+        step = self.chunk if self._chunked else n
+        for start in range(0, n, step):
+            t = times[:, start:start + step]
+            pad = step - t.shape[1] if n > step else 0
             if pad:
                 t = np.concatenate([t, np.repeat(t[:, -1:], pad, 1)], 1)
             fwd = self._forward(lq_p.shape, t.shape[1], (HH, WW))

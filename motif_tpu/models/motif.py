@@ -59,7 +59,8 @@ def liif_nearest_axis(src: int, dst: int, eps: float = 1e-6):
     idx = np.clip(np.round(pix).astype(np.int64), 0, src - 1)
     src_center = make_coord_1d(src)[idx]
     rel = (hr - src_center) * src
-    return idx.astype(np.int32), rel.astype(np.float32)
+    # float64 table; jnp.asarray downcasts to f32 unless x64 is enabled
+    return idx.astype(np.int32), rel
 
 
 def _gauss_blur_reflect(x: jax.Array) -> jax.Array:
@@ -139,6 +140,15 @@ class MoTIF(nn.Module):
         n2 = n * n
 
         raft = RAFT(name="flow_predictor")
+        if (self.is_initializing() and flows is not None
+                and flows[0] is not None and flows[-1] is not None):
+            # Precomputed flows bypass RAFT at train time, but the param tree
+            # must still contain flow_predictor (the reference Ours_44 always
+            # owns RAFT — eval computes flows live and best.pth has
+            # flow_predictor.* keys). Initialize it on a minimal dummy: 64 px
+            # is the smallest input the 4-level corr pyramid accepts.
+            dummy = jnp.zeros((1, 64, 64, 3), x.dtype)
+            _ = raft(dummy, dummy, iters=1)
 
         # anchor frames: the two center frames for Ours (Ours.py:516), all
         # four inputs for Ours_44

@@ -33,7 +33,7 @@ import numpy as np
 @functools.lru_cache(maxsize=None)
 def resize_matrix_linear(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
     """(out_size, in_size) matrix reproducing torch 1-D linear interpolation."""
-    m = np.zeros((out_size, in_size), dtype=np.float32)
+    m = np.zeros((out_size, in_size), dtype=np.float64)
     if out_size == in_size:
         np.fill_diagonal(m, 1.0)
         return m
@@ -136,7 +136,7 @@ def matlab_resize_matrix(in_size: int, out_size: int, scale: float,
                 j = in_size - 1 - (j - in_size)
             j = min(max(j, 0), in_size - 1)
             m[i, j] += weights[i, k]
-    return m.astype(np.float32)
+    return m  # float64; _apply_separable casts to the image dtype
 
 
 def imresize_matlab(img: jax.Array, scale: float, antialiasing: bool = True) -> jax.Array:

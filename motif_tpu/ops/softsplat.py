@@ -45,8 +45,8 @@ def _corner_data(flow: jax.Array, H: int, W: int):
     """
     gx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
     gy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
-    fx = gx + flow[..., 0].astype(jnp.float32)
-    fy = gy + flow[..., 1].astype(jnp.float32)
+    fx = gx + flow[..., 0]   # promotes to flow's dtype (fp64 parity path)
+    fy = gy + flow[..., 1]
 
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)

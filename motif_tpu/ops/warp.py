@@ -65,8 +65,10 @@ def grid_sample(
     Returns (B, Hg, Wg, C).
     """
     B, H, W, C = img.shape
-    x = _unnormalize(grid[..., 0].astype(jnp.float32), W, align_corners)
-    y = _unnormalize(grid[..., 1].astype(jnp.float32), H, align_corners)
+    # keep the grid's own float dtype (fp64 parity tests run end-to-end
+    # double; production is f32 either way)
+    x = _unnormalize(grid[..., 0], W, align_corners)
+    y = _unnormalize(grid[..., 1], H, align_corners)
 
     # torch's corner-wise bounds check silently skips non-finite coords
     # (they arise e.g. in RAFT's 1x1 pyramid level where bilinear_sampler

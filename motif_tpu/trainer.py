@@ -98,12 +98,21 @@ class Trainer:
         self.tx, self.schedule = make_optimizer(cfg)
         self._rng = random.Random(seed)
         self._steps = {}
+        # host-side mirror of state.step: synced once (init/resume), then
+        # incremented locally so the teacher-forcing draw never forces a
+        # per-step device→host round-trip.
+        self._host_step: int | None = None
 
     def init_state(self, rng, sample_batch) -> TrainState:
+        flows = None
+        if "flow" in sample_batch or "flow_gt" in sample_batch:
+            flows = (sample_batch.get("flow")[:1],
+                     sample_batch.get("flow_gt")[:1])
         params = self.model.init(
             rng, sample_batch["lq"][:1], sample_batch["times"][:1], self.out_hw,
             use_gt=True, iters=self.iters,
-            target_frames=sample_batch["gt"][:1], train=True)["params"]
+            target_frames=sample_batch["gt"][:1], train=True,
+            flows=flows)["params"]
         opt_state = self.tx.init(params)
         state = TrainState(params=params, opt_state=opt_state,
                            step=jnp.zeros((), jnp.int32))
@@ -161,7 +170,9 @@ class Trainer:
     def step(self, state: TrainState, batch):
         """One optimizer step with the reference's host-side teacher-forcing
         draw (VideoSR_base_model.py:128-129)."""
-        step_i = int(state.step)
+        if self._host_step is None:
+            self._host_step = int(state.step)  # single sync at init/resume
+        step_i = self._host_step
         ratio = max(0.0, 1.0 - step_i / self.cfg.teacher_forcing_steps)
         use_gt = self._rng.random() < ratio
         if use_gt not in self._steps:
@@ -171,4 +182,5 @@ class Trainer:
                                                    "flow", "flow_gt")}
         new_state, aux = self._steps[use_gt](state, arrays)
         aux["use_gt"] = use_gt
+        self._host_step = step_i + 1
         return new_state, aux

@@ -1,0 +1,65 @@
+"""Per-family eval dispatch tests (reference VideoSR_base_model.py:169-200):
+every model family must be drivable end-to-end through Evaluator.infer with
+its own call signature and produce (N, B, HH, WW, 3) frames."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from motif_tpu.eval import Evaluator
+from motif_tpu.models.baselines import EDVR, SuperSloMo, TMNet, ZSM
+from motif_tpu.models.videoinr import VideoINR
+
+
+def _infer(model, family, init_args, n_in=4, n_times=3, hw=(16, 24), scale=4):
+    params = model.init(jax.random.PRNGKey(0), *init_args)["params"]
+    ev = Evaluator(model, params, scale=scale, iters=1, family=family)
+    rng = np.random.default_rng(0)
+    lq = rng.random((1, n_in, *hw, 3), np.float32)
+    times = np.linspace(0, 1, n_times, dtype=np.float32)[None]
+    out = ev.infer(lq, times, (hw[0] * scale, hw[1] * scale))
+    assert out.shape == (n_times, 1, hw[0] * scale, hw[1] * scale, 3), out.shape
+    assert np.isfinite(out).all()
+    return out
+
+
+def test_eval_dispatch_zsm(rng):
+    m = ZSM(nf=16, front_rbs=1, back_rbs=1)
+    x0 = jnp.zeros((1, 2, 16, 24, 3))
+    # ZSM: (B, N=2) inputs → 2N-1 = 3 output frames, no times arg
+    _infer(m, "ZSM", (x0,), n_in=2, n_times=3)
+
+
+def test_eval_dispatch_tmnet(rng):
+    m = TMNet(nf=16, front_rbs=1, back_rbs=1)
+    x0 = jnp.zeros((1, 2, 16, 24, 3))
+    tt0 = jnp.full((1, 1), 0.5)
+    # TMNet consumes interior times (times[:, 1:-1]); N=2 inputs + 1
+    # interior time → 3 output frames
+    _infer(m, "TMNet", (x0, tt0), n_in=2, n_times=3)
+
+
+def test_eval_dispatch_edvr(rng):
+    m = EDVR(nf=16, num_frame=3, extract_blocks=1, recon_blocks=1)
+    x0 = jnp.zeros((1, 3, 16, 24, 3))
+    # EDVR: single center-frame output repeated over the target times
+    out = _infer(m, "EDVR", (x0,), n_in=3, n_times=3)
+    np.testing.assert_array_equal(out[0], out[1])
+
+
+def test_eval_dispatch_supersloMo(rng):
+    m = SuperSloMo(h0=64, w0=96)
+    x0 = jnp.zeros((1, 2, 64, 96, 3))
+    # Super_SloMo is called as (x[:, [0, -1]], factor=len(times)-1); the
+    # evaluator re-sizes the UNets to the eval resolution via clone()
+    _infer(m, "Super_SloMo", (x0, 2), n_in=2, n_times=3, hw=(16, 24))
+
+
+def test_eval_dispatch_liif(rng):
+    m = VideoINR(nf=16, front_rbs=1, back_rbs=1)
+    x0 = jnp.zeros((1, 2, 16, 24, 3))
+    tt0 = jnp.zeros((1, 2))
+    # LIIF returns a per-time list; evaluator stacks it
+    _infer(m, "LIIF", (x0, tt0, (64, 96)), n_in=2, n_times=3)

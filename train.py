@@ -26,11 +26,10 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    import jax.numpy as jnp
 
     from motif_tpu.utils import config as cfg
-    from motif_tpu.data import create_dataset, BatchLoader, device_prefetch
-    from motif_tpu.models.motif import MoTIF
+    from motif_tpu.data import create_dataset, BatchLoader, Subset, device_prefetch
+    from motif_tpu.models.factory import define_g
     from motif_tpu.parallel import make_mesh, shard_batch, host_shard_indices
     from motif_tpu.trainer import Trainer
     from motif_tpu import checkpoint
@@ -44,16 +43,33 @@ def main():
     seed = (opt.get("train") or {}).get("manual_seed") or 0
     np.random.seed(seed)
 
-    dataset_opt = opt["datasets"]["train"]
-    dataset = create_dataset(dataset_opt)
-    batch_size = int(dataset_opt.get("batch_size") or 1)
-    loader = BatchLoader(dataset, batch_size=batch_size, shuffle=True,
-                         seed=seed, epoch_ratio=int(opt.get("dataset_ratio") or 200))
-
     net_opt = opt["network_G"]
-    assert "Ours" in (net_opt.get("which_model_G") or "Ours"), \
+    which = net_opt.get("which_model_G") or "Ours"
+    assert which.startswith("Ours"), \
         "train.py currently drives the MoTIF ('Ours') family"
-    model = MoTIF(setting=int(net_opt.get("setting") or 5))
+    model = define_g(net_opt)
+    # Ours_44 / Ours_4 train from precomputed flow npys (Vimeo7_dataset.py:
+    # 143,152 + Ours_44.py flows branch); Ours_ZSM trains without the flow
+    # distillation term (VideoSR_base_model.py:138-139,153).
+    four_anchor = getattr(model, "n_anchors", 2) == 4
+    flow_loss = which != "Ours_ZSM"
+
+    dataset_opt = dict(opt["datasets"]["train"])
+    if four_anchor and dataset_opt.get("mode") == "vimeo":
+        dataset_opt.setdefault("load_flows", True)
+    dataset = create_dataset(dataset_opt)
+    if jax.process_count() > 1:
+        # multihost: shard the sample list by host (DistIterSampler rank
+        # striding, reference data/data_sampler.py:53-60); each host loads
+        # its slice of the global batch.
+        dataset = Subset(dataset, host_shard_indices(len(dataset)))
+    global_batch = int(dataset_opt.get("batch_size") or 1)
+    assert global_batch % jax.process_count() == 0, \
+        f"batch_size {global_batch} must divide over {jax.process_count()} hosts"
+    batch_size = global_batch // jax.process_count()
+    loader = BatchLoader(dataset, batch_size=batch_size, shuffle=True,
+                         seed=seed + jax.process_index(),
+                         epoch_ratio=int(opt.get("dataset_ratio") or 200))
 
     scale = int(opt.get("scale") or 4)
     gt_size = int(dataset_opt.get("GT_size") or 128)
@@ -61,7 +77,8 @@ def main():
 
     mesh = make_mesh()
     trainer = Trainer(model, cfg.trainer_config_from_opt(opt), out_hw,
-                      iters=int(net_opt.get("iters") or 12), mesh=mesh, seed=seed)
+                      iters=int(net_opt.get("iters") or 12), mesh=mesh,
+                      flow_loss=flow_loss, seed=seed)
 
     sample = next(iter(loader.epoch(0)))
     state = trainer.init_state(jax.random.PRNGKey(seed), sample)
@@ -70,9 +87,11 @@ def main():
 
     ckpt_dir = opt["path"]["models"] or "experiments/models"
     start = checkpoint.latest_step(ckpt_dir)
+    epoch = 0
     if start:
         state = checkpoint.restore_train_state(ckpt_dir, start, state)
-        logger.info("resumed from step %d", start)
+        epoch = int(checkpoint.restore_meta(ckpt_dir, start).get("epoch", 0))
+        logger.info("resumed from step %d (epoch %d)", start, epoch)
 
     niter = args.max_steps or int(opt["train"]["niter"])
     save_freq = int((opt.get("logger") or {}).get("save_checkpoint_freq") or 5000)
@@ -84,15 +103,14 @@ def main():
                                 "train_log.jsonl")
     metrics_f = open(metrics_path, "a") if jax.process_index() == 0 else None
 
-    step = int(state.step)
-    epoch = 0
+    step = int(state.step)  # one sync; afterwards the host counter tracks it
     t0 = time.time()
     while step < niter:
         for batch in device_prefetch(loader.epoch(epoch), shard_batch(mesh)):
             if step >= niter:
                 break
             state, aux = trainer.step(state, batch)
-            step = int(state.step)
+            step += 1
             if step % print_freq == 0:
                 s_it = (time.time() - t0) / max(1, print_freq)
                 logger.info("step %d/%d loss %.4f l_pix %.4f lr %.2e use_gt %s (%.2f s/it)",
@@ -109,11 +127,13 @@ def main():
                     metrics_f.flush()
                 t0 = time.time()
             if step % save_freq == 0 and jax.process_index() == 0:
-                checkpoint.save_train_state(ckpt_dir, step, state)
+                checkpoint.save_train_state(ckpt_dir, step, state,
+                                            meta={"epoch": epoch})
                 logger.info("saved checkpoint at step %d", step)
         epoch += 1
     if jax.process_index() == 0:
-        checkpoint.save_train_state(ckpt_dir, step, state)
+        checkpoint.save_train_state(ckpt_dir, step, state,
+                                    meta={"epoch": epoch})
         logger.info("training done at step %d", step)
 
 
