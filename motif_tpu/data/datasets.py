@@ -117,10 +117,20 @@ class Vimeo7Dataset:
     use_flip: bool = True
     use_rot: bool = True
     load_flows: bool = False
+    data_type: str = "img"   # 'img' folder tree or 'lmdb' packs
     phase: str = "train"
     seed: int | None = None
 
     def __post_init__(self):
+        if self.data_type == "lmdb":
+            from motif_tpu.data.lmdb_io import LmdbFrameSource
+
+            self._gt_src = LmdbFrameSource(self.gt_root)
+            self._lq_src = LmdbFrameSource(self.lq_root)
+            if self.keys is None or self.keys == "sep_trainlist.txt":
+                # default to the pack's own key catalog ('a_b_frame' keys)
+                self.keys = sorted({"_".join(k.split("_")[:2])
+                                    for k in self._gt_src.keys})
         if isinstance(self.keys, str):
             if osp.exists(self.keys) or osp.isabs(self.keys):
                 path = self.keys
@@ -150,10 +160,16 @@ class Vimeo7Dataset:
 
         gt_dir = osp.join(self.gt_root, name_a, name_b)
         lq_dir = osp.join(self.lq_root, name_a, name_b)
-        gts = [read_img(osp.join(gt_dir, f"im{v}.png"))
-               for v in [1] + neighbor + [7]]
-        lqs = [read_img(osp.join(lq_dir, f"im{neighbor[i]}.png"))
-               for i in self.lr_index_list]
+        if self.data_type == "lmdb":
+            gts = [self._gt_src.read(name_a, name_b, v)
+                   for v in [1] + neighbor + [7]]
+            lqs = [self._lq_src.read(name_a, name_b, neighbor[i])
+                   for i in self.lr_index_list]
+        else:
+            gts = [read_img(osp.join(gt_dir, f"im{v}.png"))
+                   for v in [1] + neighbor + [7]]
+            lqs = [read_img(osp.join(lq_dir, f"im{neighbor[i]}.png"))
+                   for i in self.lr_index_list]
         times = np.asarray([(v - 1) / 6.0 for v in neighbor], np.float32)
 
         gt_flow = lr_flow = None
@@ -272,7 +288,14 @@ class AdobeArbitraryDataset:
 class AdobeSeptupletDataset:
     """Adobe240 fixed-scale training (Adobe_dataset.py / _4 / _flow):
     septuplet windows with stride interval+1, LQ = frames [0,2,4,6] from the
-    LQ root, random sample_num GT times at i/8 plus duplicated endpoints."""
+    LQ root, random sample_num GT times at i/8 plus duplicated endpoints.
+
+    load_flows=True adds the Adobe_flow variant's precomputed arrays
+    (Adobe_dataset_flow.py:190-258): per window,
+    flow_root/<video>/<n1>_<n2>_{flow,psies,flow_GT}.npy — LR anchor flow
+    (K,2,h,w), LR reliability psies, and HR GT flow (2,9,2,H,W) subselected
+    to the sampled times; all cropped/augmented jointly with the frames
+    (sign fixes per data/util.py:92-128 — psies get spatial transforms only)."""
     gt_root: str
     lq_root: str
     video_list_file: str | None = None
@@ -280,6 +303,10 @@ class AdobeSeptupletDataset:
     sample_num: int = 7
     gt_size: int = 128
     scale: int = 4
+    use_flip: bool = True
+    use_rot: bool = True
+    load_flows: bool = False
+    flow_root: str | None = None
     phase: str = "train"
     seed: int | None = None
 
@@ -313,6 +340,20 @@ class AdobeSeptupletDataset:
         gts = [read_img(gt_paths[i]) for i in idx]
         times = np.asarray([i / 8.0 for i in picked], np.float32)
 
+        flow = psies = flow_gt = None
+        if self.load_flows:
+            # Adobe_dataset_flow.py:190-208 — file naming from the first two
+            # LQ frame numbers of the window
+            video = osp.dirname(self.file_list[index][0])
+            n1 = osp.basename(self.file_list[index][0])[:-4]
+            n2 = osp.basename(self.file_list[index][1])[:-4]
+            base = osp.join(self.flow_root or self.lq_root, video, f"{n1}_{n2}")
+            flow = np.load(base + "_flow.npy").astype(np.float32)
+            psies = np.load(base + "_psies.npy").astype(np.float32)
+            flow_gt = np.load(base + "_flow_GT.npy").astype(np.float32)
+            h, w = flow_gt.shape[2], flow_gt.shape[3]
+            flow_gt = flow_gt.reshape(2, 9, 2, h, w)[:, picked].reshape(-1, 2, h, w)
+
         if self.phase == "train":
             H, W = lqs[0].shape[:2]
             lq_size = self.gt_size // self.scale
@@ -321,8 +362,59 @@ class AdobeSeptupletDataset:
             lqs = [v[rh:rh + lq_size, rw:rw + lq_size] for v in lqs]
             rh4, rw4 = rh * self.scale, rw * self.scale
             gts = [v[rh4:rh4 + self.gt_size, rw4:rw4 + self.gt_size] for v in gts]
-        return {"lq": np.stack(lqs, 0), "gt": np.stack(gts, 0),
-                "times": times, "key": self.file_list[index][0]}
+            if self.load_flows:
+                flow = flow[:, :, rh:rh + lq_size, rw:rw + lq_size]
+                psies = psies[:, :, rh:rh + lq_size, rw:rw + lq_size]
+                flow_gt = flow_gt[:, :, rh4:rh4 + self.gt_size, rw4:rw4 + self.gt_size]
+
+            hflip = self.use_flip and self._rng.random() < 0.5
+            vflip = self.use_rot and self._rng.random() < 0.5
+            rot90 = self.use_rot and self._rng.random() < 0.5
+
+            def aug(img):
+                if hflip:
+                    img = img[:, ::-1]
+                if vflip:
+                    img = img[::-1]
+                if rot90:
+                    img = img.transpose(1, 0, 2)
+                return np.ascontiguousarray(img)
+
+            def aug_flow(fl, signs=True):
+                # data/util.py:108-127: flows get channel-1/0 sign fixes on
+                # h/v flip; psies (signs=False) only the spatial transforms
+                if hflip:
+                    fl = fl[:, :, :, ::-1].copy()
+                    if signs:
+                        fl[:, 1] *= -1
+                if vflip:
+                    fl = fl[:, :, ::-1, :].copy()
+                    if signs:
+                        fl[:, 0] *= -1
+                if rot90:
+                    fl = fl.transpose(0, 1, 3, 2)
+                    if signs:
+                        fl = np.flip(fl, 1)
+                return np.ascontiguousarray(fl)
+
+            lqs = [aug(v) for v in lqs]
+            gts = [aug(v) for v in gts]
+            if self.load_flows:
+                flow = aug_flow(flow.copy())
+                psies = aug_flow(psies.copy(), signs=False)
+                flow_gt = aug_flow(flow_gt.copy())
+
+        out = {"lq": np.stack(lqs, 0), "gt": np.stack(gts, 0),
+               "times": times, "key": self.file_list[index][0]}
+        if self.load_flows:
+            # model layout (channel-last); flow_gt (2, n, 2, H, W) anchor-
+            # major → (n_times, n_anchors=2, HH, WW, 2)
+            out["flow"] = flow.transpose(0, 2, 3, 1)
+            out["psies"] = psies.transpose(0, 2, 3, 1)
+            n = len(picked)
+            g = flow_gt.reshape(2, n, 2, *flow_gt.shape[2:])
+            out["flow_gt"] = g.transpose(1, 0, 3, 4, 2)
+        return out
 
 
 @dataclass
@@ -432,6 +524,7 @@ def create_dataset(opt: dict):
                              use_flip=opt.get("use_flip", True),
                              use_rot=opt.get("use_rot", True),
                              load_flows=bool(opt.get("load_flows", False)),
+                             data_type=opt.get("data_type", "img"),
                              phase=opt.get("phase", "train"))
     if mode == "Adobe_a":
         return AdobeArbitraryDataset(opt["dataroot_GT"],
@@ -443,6 +536,10 @@ def create_dataset(opt: dict):
                                      sample_num=opt.get("sample_num", 7),
                                      gt_size=opt.get("GT_size", 128),
                                      scale=opt.get("scale", 4),
+                                     use_flip=opt.get("use_flip", True),
+                                     use_rot=opt.get("use_rot", True),
+                                     load_flows=(mode == "Adobe_flow"),
+                                     flow_root=opt.get("flow_root"),
                                      phase=opt.get("phase", "train"))
     if mode == "vimeo_a":
         return VimeoArbitraryDataset(opt["dataroot_GT"],

@@ -24,6 +24,15 @@ def define_g(opt: dict):
     back = int(opt.get("back_RBs") or 40)
     setting = int(opt.get("setting") or 5)
 
+    if which == "Ours_flow":
+        # the authors' flow/psies precomputer (Ours_flow.py:496-560)
+        from motif_tpu.models.flow_precompute import FlowPrecompute
+
+        return FlowPrecompute(scale=int(opt.get("scale") or 4))
+    if which == "Ours_7":
+        # first-two-anchor, linear-motion fork with hardcoded flags
+        # (Ours_7.py:440-448) — equivalent to setting=3
+        return MoTIF(setting=3, channel=nf, linear_motion=True)
     if which.startswith("Ours"):
         # Ours_44 / Ours_4 are the 4-anchor variants (Ours_44.py); the other
         # forks differ only in training wiring (see module docstring).

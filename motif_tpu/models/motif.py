@@ -94,6 +94,13 @@ class MoTIF(nn.Module):
     res_liff: bool = False
     local_ensemble: bool = False
     fused_siren: bool = False  # Pallas fused-MLP SIREN evaluation (TPU)
+    # Ours_7 (models/modules/Ours_7.py:480-704): anchors are the FIRST two
+    # input frames; target-time motion is a linear time-scaling of the two
+    # directed flows (f01*t, f10*(1-t)) instead of the STINF prediction; the
+    # LIIF query drops the flow-context features; no reliability metrics.
+    # The reference fork hardcodes input_Z=True, predict_Z=decoder_Z=False,
+    # i.e. use setting=3 with this flag.
+    linear_motion: bool = False
 
     @property
     def warp_to_many(self) -> bool:
@@ -151,13 +158,22 @@ class MoTIF(nn.Module):
             _ = raft(dummy, dummy, iters=1)
 
         # anchor frames: the two center frames for Ours (Ours.py:516), all
-        # four inputs for Ours_44
-        if n == 2:
+        # four inputs for Ours_44, the FIRST two for Ours_7 (which skips the
+        # center-crop line, Ours_7.py:481-492)
+        if self.linear_motion:
+            assert n == 2, "linear_motion is the 2-anchor Ours_7 fork"
+            frames = [x[:, 0], x[:, 1]]
+        elif n == 2:
             c = N_in // 2
             frames = [x[:, c - 1], x[:, c]]
         else:
             assert N_in == 4
             frames = [x[:, i] for i in range(4)]
+
+        if self.linear_motion:
+            return self._linear_motion_forward(
+                x, frames, target_t, out_hw, raft, use_gt, iters,
+                target_frames, train)
 
         # ---- motion + reliability (no_grad block, Ours.py:519-595) ----
         if flows is not None and flows[0] is not None:
@@ -439,3 +455,133 @@ class MoTIF(nn.Module):
         flow_norm = flow_hr / 20.0 / (HH / H)
         flow_gt_norm = flow_gt / 20.0 / (HH / H)
         return frames, flow_norm, flow_gt_norm
+
+    def _linear_motion_forward(self, x, frames, target_t, out_hw, raft,
+                               use_gt, iters, target_frames, train):
+        """The Ours_7 fork (models/modules/Ours_7.py:480-704): target-time
+        motion = linear time-scaling of the two directed flows; LIIF query
+        without flow-context; no reliability metrics."""
+        B, N_in, H, W, _ = x.shape
+        HH, WW = out_hw
+        N = target_t.shape[1]
+        ch = self.channel
+
+        # directed flows f01 / f10 at HR, downsampled (Ours_7.py:497-505)
+        hr0 = interpolate_bilinear(frames[0], (HH, WW))
+        hr1 = interpolate_bilinear(frames[1], (HH, WW))
+        f = raft(jnp.concatenate([hr0, hr1], 0) * 255.0,
+                 jnp.concatenate([hr1, hr0], 0) * 255.0, iters=iters)
+        f = interpolate_bilinear(f, (H, W)) * (H / HH)
+        f01, f10 = f[:B], f[B:]
+        # per-target-time linear scaling then HR upsample (Ours_7.py:507-515)
+        t = target_t.reshape(1, B, N, 1, 1, 1)
+        lin = jnp.concatenate([
+            (f01[None, :, None] * t),
+            (f10[None, :, None] * (1.0 - t)),
+        ], 0).reshape(2 * B * N, H, W, 2)
+        flow = interpolate_bilinear(lin, (HH, WW)) * (HH / H)
+        flow = jax.lax.stop_gradient(flow)                  # (2BN, HH, WW, 2)
+
+        # teacher flow (training): identical to the Ours path
+        if train:
+            assert target_frames is not None
+            tf = target_frames
+            small = interpolate_bilinear(
+                tf.reshape(B * tf.shape[1], HH, WW, 3), (128, 128)
+            ).reshape(B, tf.shape[1], 128, 128, 3)
+            anchors = jnp.concatenate([
+                jnp.repeat(small[:, 0][:, None], N, 1).reshape(B * N, 128, 128, 3),
+                jnp.repeat(small[:, -1][:, None], N, 1).reshape(B * N, 128, 128, 3),
+            ], 0)
+            targets = jnp.tile(small[:, 1:-1].reshape(B * N, 128, 128, 3),
+                               (2, 1, 1, 1))
+            flow_gt = raft(anchors * 255.0, targets * 255.0, iters=iters)
+            flow_gt = interpolate_bilinear(flow_gt, (HH, WW)) * (HH / 128.0)
+            flow_gt = jax.lax.stop_gradient(flow_gt)
+        else:
+            flow_gt = jnp.zeros((2 * B * N, HH, WW, 2), x.dtype)
+
+        # encoder on the two anchors (Ours_7.py:560-566)
+        feat_t = ZSMEncoder(ch, name="encoder")(jnp.stack(frames, 1))
+        residual_bn = feat_t[:, 1]                           # (B, H, W, ch)
+        feat = jnp.concatenate([feat_t[:, 0], feat_t[:, 2]], 0)
+
+        # checkpointed-but-unused params of the fork (flow encoder + STINF)
+        alpha = self.param("alpha", lambda k, s: jnp.full(s, -20.0), (1,))
+        self.param("norm_gamma", nn.initializers.ones, (1, 3, 1))
+        self.param("norm_beta", nn.initializers.zeros, (1, 3, 1))
+        _ = Conv2d(ch, 1, 1, 0, name="shuffle")(jnp.zeros((1, 1, 1, ch), x.dtype))
+        if self.is_initializing():
+            zf = jnp.zeros((1, 1, 1, 14), x.dtype)
+            y = Conv2d(ch, 3, 1, 1, groups=2, name="flow_process_0")(zf)
+            y = Conv2d(ch, 3, 1, 1, groups=2, name="flow_process_1")(y)
+            for i in range(3, 8):
+                y = LateralBlock(ch, name=f"flow_process_{i}")(y)
+            _ = Conv2d(ch, 3, 1, 1, padding_mode="reflect",
+                       name="flow_process_9")(y)
+            _ = Siren([64, 64, 256], 2, 3, fused=self.fused_siren,
+                      name="flow_imnet")(jnp.zeros((1, 1, 67), x.dtype))
+
+        imnet = Siren([64, 64, 256], 2, 64, fused=self.fused_siren, name="imnet")
+
+        # LIIF query without flow-context (Ours_7.py:567-616; eps 1e-6 only)
+        iy, rel_y = liif_nearest_axis(H, HH)
+        ix, rel_x = liif_nearest_axis(W, WW)
+
+        def up(img):
+            return jnp.take(jnp.take(img, iy, axis=1), ix, axis=2)
+
+        rel = jnp.broadcast_to(
+            jnp.stack(jnp.meshgrid(jnp.asarray(rel_y), jnp.asarray(rel_x),
+                                   indexing="ij"), -1)[None],
+            (1, HH, WW, 2)).astype(x.dtype)
+        q_feat = up(feat)
+        q_residual = up(residual_bn)
+        si = jnp.concatenate([q_feat, jnp.tile(rel, (2 * B, 1, 1, 1))], -1)
+        si_out = imnet(si.reshape(2 * B, HH * WW, -1)).reshape(2 * B, HH, WW, 64)
+
+        # splat (Ours_7.py:627-659): features [si_out | flow | raw feat]
+        feat_hr = jnp.concatenate([
+            jnp.repeat(si_out, N, 0).reshape(2, B, N, HH, WW, 64)
+               .reshape(2 * B * N, HH, WW, 64),
+            jax.lax.stop_gradient(flow),
+            jnp.repeat(q_feat, N, 0).reshape(2, B, N, HH, WW, ch)
+               .reshape(2 * B * N, HH, WW, ch),
+        ], -1)
+        z = jax.nn.relu(flow[..., -1:]) * alpha
+        if not self.predict_Z:                # the fork hardcodes False
+            z = jnp.zeros_like(z)
+        splat_flow = flow_gt if use_gt else flow
+        z_all_nonpos = (alpha[0] <= 0.0) if self.predict_Z else jnp.asarray(True)
+        output, warped_z, z_max, count = splat_fused(
+            feat_hr, splat_flow, z, z_nonpositive=z_all_nonpos)
+
+        Cf = output.shape[-1]
+        output = output.reshape(2, B * N, HH, WW, Cf).sum(0)
+        warped_z = warped_z.reshape(2, B * N, HH, WW, 1).sum(0)
+        warped_z = jnp.where(warped_z == 0.0, 1.0, warped_z)
+        output = output / warped_z
+        z_max = z_max.reshape(2, B * N, HH, WW, 1).max(0)
+        count = count.reshape(2, B * N, HH, WW, 1).sum(0)
+
+        count_safe = jnp.where(count == 0.0, 1.0, count)
+        warped_z_masked = jnp.where(warped_z == 1.0, 0.0, warped_z)
+        if self.decoder_Z:
+            extra = jnp.concatenate([z_max, count / 16.0,
+                                     warped_z_masked / count_safe], -1)
+        else:
+            extra = jnp.concatenate([count / 16.0,
+                                     warped_z_masked / count_safe], -1)
+
+        res_rep = jnp.repeat(q_residual, N, 0).reshape(B * N, HH, WW, -1)
+        tmap = target_t.reshape(B * N, 1, 1, 1) * jnp.ones((1, HH, WW, 1), x.dtype)
+        synth_in = jnp.concatenate([output, extra, res_rep, tmap], -1)
+        synth = Siren([64, 64, 64, 256], 3, 3, fused=self.fused_siren,
+                      name="synth_net")
+        out = synth(synth_in.reshape(B * N, HH * WW, -1)).reshape(B * N, HH, WW, 3)
+
+        frames_out = jnp.clip(out.reshape(B, N, HH, WW, 3), 0.0, 1.0
+                              ).transpose(1, 0, 2, 3, 4)
+        # quirk preserved: the fork divides the raw (never x20) flow
+        # (Ours_7.py:704)
+        return frames_out, flow / 20.0 / (HH / H), flow_gt / 20.0 / (HH / H)

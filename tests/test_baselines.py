@@ -79,8 +79,15 @@ def test_videoinr_forward(rng):
 def test_factory_dispatch():
     from motif_tpu.models.motif import MoTIF
 
+    from motif_tpu.models.flow_precompute import FlowPrecompute
+
     assert isinstance(define_g({"which_model_G": "Ours", "setting": 5}), MoTIF)
     assert isinstance(define_g({"which_model_G": "Ours_44"}), MoTIF)
+    m7 = define_g({"which_model_G": "Ours_7", "setting": 6})
+    assert isinstance(m7, MoTIF) and m7.linear_motion and m7.setting == 3
+    assert isinstance(define_g({"which_model_G": "Ours_flow"}), FlowPrecompute)
+    mz = define_g({"which_model_G": "Ours_ZSM", "setting": 5})
+    assert isinstance(mz, MoTIF) and not mz.linear_motion
     assert isinstance(define_g({"which_model_G": "LIIF"}), VideoINR)
     assert isinstance(define_g({"which_model_G": "ZSM"}), ZSM)
     assert isinstance(define_g({"which_model_G": "TMNet"}), TMNet)

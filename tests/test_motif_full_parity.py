@@ -134,8 +134,9 @@ def _ext_stub():
     return ext
 
 
-@pytest.fixture(scope="module")
-def ref_lunatokis():
+def _install_stubs_and_import(module_name: str):
+    """Install CPU stubs for the reference's CUDA dependencies and import a
+    models.modules.* graph module. Returns (module, ref_raft_module)."""
     if not os.path.isdir(REF):
         pytest.skip("reference repo not mounted")
 
@@ -178,9 +179,11 @@ def ref_lunatokis():
     # fp64 run stays fp64 end to end (a no-op in normal fp32 execution)
     torch.Tensor.float = lambda self: self.to(torch.get_default_dtype())
 
+    import importlib
+
     sys.path.insert(0, REF)
     try:
-        import models.modules.Ours as ours_mod
+        mod = importlib.import_module(f"models.modules.{module_name}")
         import models.softsplat_cp as ss
         import models.softsplat_max_cp as ssm
         import models.softsplat_count_cp as ssc
@@ -191,9 +194,13 @@ def ref_lunatokis():
     ss._FunctionSoftsplat = _splat_autograd("sum")
     ssm._FunctionSoftsplat = _splat_autograd("max")
     ssc._FunctionSoftsplat = _splat_autograd("count")
+    return mod, ref_raft_mod
 
-    # LunaTokis.__init__ torch.load()s a fine-tuned RAFT from the author's
-    # filesystem (Ours.py:424-430); feed it a seeded random RAFT instead.
+
+def _build_ref_model(module_name: str, **ctor_kwargs):
+    """Construct a reference LunaTokis fork on CPU with the author-filesystem
+    RAFT checkpoint load (Ours.py:424-430) replaced by a seeded random RAFT."""
+    mod, ref_raft_mod = _install_stubs_and_import(module_name)
     args = argparse.Namespace(small=True, mixed_precision=False,
                               alternate_corr=True, dropout=0)
     torch.manual_seed(7)
@@ -203,7 +210,7 @@ def ref_lunatokis():
     torch.load = lambda *a, **k: fake_ckpt
     try:
         torch.manual_seed(0)
-        model = ours_mod.LunaTokis(setting=5)
+        model = mod.LunaTokis(**ctor_kwargs)
     finally:
         torch.load = real_load
     # route RAFT through the pure-torch CorrBlock (identical values,
@@ -211,6 +218,11 @@ def ref_lunatokis():
     model.flow_predictor.args.alternate_corr = False
     model.eval()
     return model
+
+
+@pytest.fixture(scope="module")
+def ref_lunatokis():
+    return _build_ref_model("Ours", setting=5)
 
 
 @pytest.fixture
@@ -264,3 +276,85 @@ def test_motif_full_graph_parity(ref_lunatokis, fp64):
     print("full-graph parity: max", diff.max(), "mean", diff.mean())
     assert diff.max() < 1e-4, (diff.max(), diff.mean())
     assert diff.mean() < 1e-6, diff.mean()
+
+
+# ---------------------------------------------------------------------------
+# fork parity: Ours_7 (linear-motion) and Ours_flow (flow precomputer)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_ours7():
+    return _build_ref_model("Ours_7", setting=3)
+
+
+def test_ours7_full_graph_parity(ref_ours7, fp64):
+    B, H, W, S, N = 1, 32, 48, 4, 2
+    HH, WW = H * S, W * S
+    iters = 2
+    rng = np.random.default_rng(1)
+    x = rng.random((B, 2, 3, H, W)).astype(np.float64)
+    tt = np.asarray([[0.25, 0.75]], np.float64)
+
+    model64 = ref_ours7.double()
+    with torch.no_grad():
+        times = [torch.from_numpy(tt[:, i:i + 1]) for i in range(N)]
+        want, _, _ = model64(torch.from_numpy(x), None, times, scale=S,
+                             use_GT=False, iter=iters)
+    want = want.numpy().reshape(N * B, 3, HH, WW)
+    assert np.isfinite(want).all()
+
+    params = checkpoint.port_torch_state_dict(model64.state_dict())
+    m = MoTIF(setting=3, linear_motion=True)
+    ref_tree = m.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 2, 16, 16, 3), jnp.float32),
+                      jnp.zeros((1, N), jnp.float32), (64, 64),
+                      iters=1)["params"]
+    problems = [p for p in checkpoint.verify_port(ref_tree, params)
+                if not p.startswith("extra")]
+    assert not problems, problems[:10]
+
+    got, _, _ = m.apply({"params": params},
+                        jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+                        jnp.asarray(tt), (HH, WW), use_gt=False, iters=iters)
+    got_nchw = np.asarray(got).reshape(N * B, HH, WW, 3).transpose(0, 3, 1, 2)
+    diff = np.abs(got_nchw - want)
+    print("ours7 parity: max", diff.max(), "mean", diff.mean())
+    assert diff.max() < 1e-4, (diff.max(), diff.mean())
+    assert diff.mean() < 1e-6, diff.mean()
+
+
+@pytest.fixture(scope="module")
+def ref_ours_flow():
+    return _build_ref_model("Ours_flow")
+
+
+def test_ours_flow_precompute_parity(ref_ours_flow, fp64):
+    from motif_tpu.models.flow_precompute import FlowPrecompute
+
+    B, H, W, S = 1, 32, 48, 4
+    iters = 2
+    rng = np.random.default_rng(2)
+    x = rng.random((B, 4, 3, H, W)).astype(np.float64)
+
+    model64 = ref_ours_flow.double()
+    with torch.no_grad():
+        times = [torch.zeros(B, 1, dtype=torch.float64)]
+        w_flow, _, w_psies = model64(torch.from_numpy(x), None, times,
+                                     scale=S, use_GT=False, iter=iters)
+    w_flow = w_flow.reshape(8 * B, 2, H, W).numpy()
+    w_psies = w_psies.numpy()
+
+    params = checkpoint.port_torch_state_dict(model64.state_dict())
+    m = FlowPrecompute(scale=S)
+    g_flow, zero, g_psies = m.apply(
+        {"params": {"flow_predictor": params["flow_predictor"]}},
+        jnp.asarray(x.transpose(0, 1, 3, 4, 2)), iters=iters)
+    assert zero == 0
+    g_flow = np.asarray(g_flow).transpose(0, 3, 1, 2)
+    g_psies = np.asarray(g_psies).transpose(0, 3, 1, 2)
+
+    df = np.abs(g_flow - w_flow)
+    dp = np.abs(g_psies - w_psies)
+    print("ours_flow parity: flow max", df.max(), "psies max", dp.max())
+    assert df.max() < 1e-6, df.max()
+    assert dp.max() < 1e-6, dp.max()

@@ -70,3 +70,81 @@ def test_pwcnet_forward_shapes(rng):
     assert "moduleExtractor" in params and "moduleOne_0" in params["moduleExtractor"]
     assert "moduleUpflow" in params["moduleFiv"]
     assert "moduleMain_12" in params["moduleRefiner"]
+
+
+def test_pwcnet_light_full_parity(rng):
+    """Full-graph parity vs the reference PWCNet_light on CPU, with the CuPy
+    9x9 correlation stubbed by a torch wrapper of ops.corr.local_corr (which
+    test_corr.py verifies against a transcription of the CUDA kernel)."""
+    import os
+    import sys
+    import types
+
+    import torch
+
+    REF = "/root/reference"
+    if not os.path.isdir(REF):
+        pytest.skip("reference repo not mounted")
+
+    from motif_tpu.ops.corr import local_corr as jax_local_corr
+    from motif_tpu.models.pwcnet import PWCNetLight
+    from motif_tpu import checkpoint
+
+    # OpticalFlow/correlation.py imports cupy at module import
+    cupy_stub = types.ModuleType("cupy")
+    cupy_stub.memoize = lambda **kw: (lambda f: f)
+    cupy_stub.ndarray = type("ndarray", (), {})
+    cupy_stub.cuda = types.SimpleNamespace(compile_with_cache=None)
+    sys.modules.setdefault("cupy", cupy_stub)
+    # correlation.py:7-8 snapshots torch.cuda.current_stream() at import
+    torch.cuda.current_stream = (
+        lambda *a, **k: types.SimpleNamespace(cuda_stream=0))
+    tv = types.ModuleType("torchvision")
+    tv_t = types.ModuleType("torchvision.transforms")
+    for name in ("Resize", "Compose", "ToTensor", "Normalize"):
+        setattr(tv_t, name, object)
+    tv.transforms = tv_t
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", tv_t)
+    sys.path.insert(0, REF)
+    try:
+        import OpticalFlow.correlation as ref_corr
+        import OpticalFlow.PWCNet_light as ref_light_mod
+    finally:
+        sys.path.remove(REF)
+
+    def fake_correlation(tensorFirst, tensorSecond):
+        out = jax_local_corr(
+            jnp.asarray(tensorFirst.detach().numpy().transpose(0, 2, 3, 1)),
+            jnp.asarray(tensorSecond.detach().numpy().transpose(0, 2, 3, 1)),
+            max_disp=4)
+        return torch.from_numpy(np.asarray(out).transpose(0, 3, 1, 2).copy())
+
+    ref_corr.FunctionCorrelation = fake_correlation
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
+    torch.manual_seed(0)
+    ref = ref_light_mod.PWCNet()
+    ref.eval()
+
+    B, H, W = 1, 64, 128
+    img1 = rng.random((B, 3, H, W), dtype=np.float32)
+    img2 = rng.random((B, 3, H, W), dtype=np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(img1), torch.from_numpy(img2)).numpy()
+
+    params = checkpoint.port_torch_state_dict(ref.state_dict())
+    m = PWCNetLight()
+    ref_tree = m.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))["params"]
+    problems = [p for p in checkpoint.verify_port(ref_tree, params)
+                if not p.startswith("extra")]
+    assert not problems, problems[:10]
+
+    got = np.asarray(m.apply({"params": params},
+                             jnp.asarray(img1.transpose(0, 2, 3, 1)),
+                             jnp.asarray(img2.transpose(0, 2, 3, 1))))
+    got = got.transpose(0, 3, 1, 2)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    d = np.abs(got - want)
+    assert d.max() < 1e-3, (d.max(), d.mean())

@@ -116,3 +116,50 @@ def test_checkpoint_meta_roundtrip(tmp_path):
     assert checkpoint.latest_step(str(tmp_path)) == 7
     assert checkpoint.restore_meta(str(tmp_path), 7) == {"epoch": 3}
     assert checkpoint.restore_meta(str(tmp_path), 99) == {}
+
+
+def test_two_process_disjoint_batches(vimeo_flow_tree, tmp_path):
+    """Two separate processes, each building the host-sharded loader with its
+    own process_index, must draw disjoint sample sets (the DistIterSampler
+    guarantee, reference data/data_sampler.py:53-60)."""
+    import json
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    gt, lq, keys = vimeo_flow_tree
+    # enlarge the key list so the shard split is meaningful
+    big_keys = tmp_path / "keys.txt"
+    with open(keys) as f:
+        base = f.read().strip().replace("_", "/")
+    with open(big_keys, "w") as f:
+        for i in range(10):
+            f.write(base + "\n")  # 10 copies -> indices 0..9
+
+    script = textwrap.dedent("""
+        import json, sys
+        import numpy as np
+        from motif_tpu.data import Subset, Vimeo7Dataset, BatchLoader
+        from motif_tpu.parallel import host_shard_indices
+
+        gt, lq, keys, pi = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+        ds = Vimeo7Dataset(gt, lq, keys=keys, gt_size=16, scale=4, seed=0)
+        idx = host_shard_indices(len(ds), process_index=pi, process_count=2)
+        sub = Subset(ds, idx)
+        loader = BatchLoader(sub, batch_size=1, shuffle=True, seed=pi)
+        seen = [int(i) for i in sub.indices]
+        n = sum(1 for _ in loader.epoch(0))
+        print(json.dumps({"indices": seen, "batches": n}))
+    """)
+    outs = []
+    for pi in range(2):
+        r = subprocess.run(
+            [_sys.executable, "-c", script, gt, lq, str(big_keys), str(pi)],
+            capture_output=True, text=True, cwd="/root/repo", timeout=120,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(json.loads(r.stdout.strip().splitlines()[-1]))
+    s0, s1 = set(outs[0]["indices"]), set(outs[1]["indices"])
+    assert not (s0 & s1), "host shards overlap"
+    assert s0 | s1 == set(range(10)), "host shards must cover the dataset"
+    assert outs[0]["batches"] == len(s0) and outs[1]["batches"] == len(s1)
