@@ -148,7 +148,7 @@ class Evaluator:
         return out[:, :, : out_hw[0], : out_hw[1]]
 
     def run(self, loader, save_psnr_dir: str | None = None,
-            log_every: int = 1, logger=None) -> EvalResults:
+            log_every: int = 1, logger=None, name: str = "") -> EvalResults:
         res = EvalResults()
         for it, batch in enumerate(loader):
             lq, gt, times = batch["lq"], batch["gt"], batch["times"]
@@ -180,9 +180,12 @@ class Evaluator:
                     f"center {p_c:.3f} (avg {s['psnr_center']:.3f}) "
                     f"ssim avg {s['ssim']:.4f}")
         if save_psnr_dir:
+            # file named by experiment like the reference
+            # ('./psnrs/' + opt['name'] + '.npy', test.py:290-291)
             os.makedirs(save_psnr_dir, exist_ok=True)
-            np.save(os.path.join(save_psnr_dir, "psnrs.npy"),
+            stem = name or "psnrs"
+            np.save(os.path.join(save_psnr_dir, f"{stem}.npy"),
                     np.asarray(res.psnrs_all, dtype=object), allow_pickle=True)
-            np.save(os.path.join(save_psnr_dir, "ssims.npy"),
+            np.save(os.path.join(save_psnr_dir, f"{stem}_ssim.npy"),
                     np.asarray(res.ssim_all, dtype=object), allow_pickle=True)
         return res

@@ -35,7 +35,10 @@ class ZSMEncoder(nn.Module):
         l2 = l2.reshape(B, N, H // 2, W // 2, nf)
         l3 = l3.reshape(B, N, H // 4, W // 4, nf)
 
-        pcd_align = PCDAlign(nf, groups=8, name="pcd_align")
+        # remat: the PCD stages' one-hot DCN im2col buffers dominate the
+        # encoder's backward memory (dozens of (B,H,W,9,8,8) saves); their
+        # recompute is cheap relative to the HR stages downstream.
+        pcd_align = nn.remat(PCDAlign)(nf, groups=8, name="pcd_align")
         fusion = Conv2d(nf, 1, 1, 0, name="fusion")
 
         to_lstm = []
@@ -50,7 +53,8 @@ class ZSMEncoder(nn.Module):
             to_lstm.append(fea2[0])
         feats = jnp.stack(to_lstm, axis=1)  # (B, 2N-1, H, W, nf)
 
-        feats = BiDeformableConvLSTM(nf, groups=8, name="ConvBLSTM")(feats)
+        feats = nn.remat(BiDeformableConvLSTM)(nf, groups=8,
+                                               name="ConvBLSTM")(feats)
         B2, T, H2, W2, C2 = feats.shape
         out = feats.reshape(B2 * T, H2, W2, C2)
         for i in range(40):

@@ -302,12 +302,17 @@ class MoTIF(nn.Module):
         self.param("norm_beta", nn.initializers.zeros, (1, 3, 1))
         _ = Conv2d(ch, 1, 1, 0, name="shuffle")(jnp.zeros((1, 1, 1, ch), x.dtype))
 
-        flow_imnet = Siren([64, 64, 256], 2, 3 * G, fused=self.fused_siren,
-                           name="flow_imnet")
-        imnet = Siren([64, 64, 256], 2, 64, fused=self.fused_siren, name="imnet")
+        # nn.remat: the HR-token SIREN activations dominate the training
+        # backward's memory (HH*WW tokens x n*B*N rows x 4 layers); remat
+        # recomputes them from the (already-materialized) inputs instead.
+        # Inference cost is unchanged (no backward pass).
+        SirenR = nn.remat(Siren)
+        flow_imnet = SirenR([64, 64, 256], 2, 3 * G, fused=self.fused_siren,
+                            name="flow_imnet")
+        imnet = SirenR([64, 64, 256], 2, 64, fused=self.fused_siren, name="imnet")
         if self.res_liff:
-            res_imnet = Siren([64, 64, 256], 2, 64, fused=self.fused_siren,
-                              name="res_imnet")
+            res_imnet = SirenR([64, 64, 256], 2, 64, fused=self.fused_siren,
+                               name="res_imnet")
 
         if self.local_ensemble:
             shifts = [(-1, -1), (-1, 1), (1, -1), (1, 1)]
@@ -438,8 +443,8 @@ class MoTIF(nn.Module):
                 res_rep, tmap], -1)
 
         if self.siren:
-            synth = Siren([64, 64, 64, 256], 3, 3, fused=self.fused_siren,
-                          name="synth_net")
+            synth = nn.remat(Siren)([64, 64, 64, 256], 3, 3, fused=self.fused_siren,
+                                    name="synth_net")
             out = synth(synth_in.reshape(B * N, HH * WW, -1)).reshape(B * N, HH, WW, 3)
         else:
             y = Conv2d(ch * 2, 3, 1, 1, name="synth_net_0")(synth_in)

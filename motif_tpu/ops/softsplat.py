@@ -143,23 +143,46 @@ def splat_fused(img: jax.Array, flow: jax.Array, z: jax.Array,
     B, H, W, C = img.shape
     ez = jnp.exp(z)
     corners = _corner_data(flow, H, W)
-    idx = jnp.stack([c[0] for c in corners], 1).reshape(B, -1)
-    w = jnp.stack([jnp.where(c[2], c[1], 0.0) for c in corners], 1)   # (B,4,H,W)
-    valid = jnp.stack([c[2] for c in corners], 1)
+    bidx = jnp.arange(B)[:, None]
 
-    stacked = jnp.concatenate([img * ez, ez], axis=-1)                # (B,H,W,C+1)
-    vals = stacked[:, None] * w[..., None].astype(img.dtype)
-    cnt = jax.lax.stop_gradient(valid.astype(img.dtype))[..., None]
-    vals = jnp.concatenate([vals, cnt], axis=-1).reshape(B, -1, C + 2)
+    # one scatter per corner, strictly sequential via lax.scan: the peak
+    # temp is ONE (B, HW, C+2) vals buffer. An unrolled Python loop lets
+    # XLA's scheduler keep all four corner buffers (and their remat clones)
+    # alive at once — measured 5x1.75G live at batch 4 / GT 128, which
+    # OOMed a single v5e; the scan form reuses one buffer per iteration.
+    # The [img*ez | ez] stack is built directly in the flattened scatter
+    # layout — materializing it in image layout too costs another full-size
+    # buffer (a 1.75G layout copy at batch 4).
+    idx4 = jnp.stack([c[0].reshape(B, -1) for c in corners], 0)       # (4,B,HW)
+    w4 = jnp.stack([jnp.where(c[2], c[1], 0.0).reshape(B, -1)
+                    for c in corners], 0).astype(img.dtype)
+    v4 = jnp.stack([c[2].reshape(B, -1) for c in corners], 0)
+    ezf = ez.reshape(B, H * W, 1)
+    flat = jnp.concatenate([img.reshape(B, H * W, C) * ezf, ezf], -1)
+
+    def body(acc, args):
+        ci, wi, vi = args
+        vals = flat * wi[..., None]
+        cnt = jax.lax.stop_gradient(vi.astype(img.dtype))[..., None]
+        vals = jnp.concatenate([vals, cnt], axis=-1)
+        return acc.at[bidx, ci].add(vals), None
+
     acc = jnp.zeros((B, H * W, C + 2), dtype=img.dtype)
-    acc = acc.at[jnp.arange(B)[:, None], idx].add(vals)
+    acc, _ = jax.lax.scan(body, acc, (idx4, w4, v4))
     acc = acc.reshape(B, H, W, C + 2)
     out, norm, count = acc[..., :C], acc[..., C:C + 1], acc[..., C + 1:]
 
     def max_splat(_):
-        mx = jnp.where(valid, ez[:, None, :, :, 0] * w, -jnp.inf).reshape(B, -1, 1)
+        ezm = ez.reshape(B, H * W)
+
+        def mbody(zm, args):
+            ci, wi, vi = args
+            mx = jnp.where(vi, ezm * wi, -jnp.inf)[..., None]
+            return zm.at[bidx, ci].max(mx), None
+
         zm = jnp.ones((B, H * W, 1), dtype=img.dtype)
-        return zm.at[jnp.arange(B)[:, None], idx].max(mx).reshape(B, H, W, 1)
+        zm, _ = jax.lax.scan(mbody, zm, (idx4, w4, v4))
+        return zm.reshape(B, H, W, 1)
 
     if z_nonpositive is None:
         z_max = max_splat(None)

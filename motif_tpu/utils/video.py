@@ -21,23 +21,45 @@ def read_seq_imgs(img_seq_path: str) -> np.ndarray:
     return np.stack([read_img(p) for p in paths], 0)
 
 
-def test_index_generation(skip_first: bool, n_out: int, len_in: int) -> list[list[int]]:
-    """Sliding-window eval plan (utils/util.py:272-316): which input frames
-    feed each forward pass so that n_out frames are produced per window.
+def test_index_generation(skip: bool, n_out: int, len_in: int) -> list[list[list[int]]]:
+    """Sliding-window eval plan (reference utils/util.py:272-316).
 
-    Returns a list of [in_start, in_end, out_start, out_end]-style index
-    lists matching the reference's generation: windows of 2 input frames
-    stepping by 1, each producing n_out output slots.
+    skip: inputs are every other frame of the output window (VFI-style);
+    n_out: frames the network produces per window; len_in: total frames.
+    Returns [[input_indices, output_indices], ...] with a tail window
+    appended when the stride would miss the last frame — exactly the
+    reference semantics, e.g.::
+
+        (skip=False, N_out=3, len_in=5) → [[0,1],[0,1,2]], [[1,2],[2,3,4]]
+        (skip=True,  N_out=3, len_in=5) → [[0,2],[0,1,2]], [[2,4],[2,3,4]]
     """
-    plans = []
-    n_in = 2
-    step = 1
-    i = 0 if skip_first else 0
-    while i + n_in <= len_in:
-        inputs = list(range(i, i + n_in))
-        outputs = list(range(i * (n_out - 1), i * (n_out - 1) + n_out))
-        plans.append([inputs, outputs])
-        i += step
+    n_in = 1 + n_out // 2
+    assert n_in <= len_in, "input too short for the window size"
+
+    plans: list[list[list[int]]] = []
+    if skip:
+        right = n_out
+        while right <= len_in:
+            h_list = [right - n_out + x for x in range(n_out)]
+            plans.append([h_list[::2], h_list])
+            right += n_out - 1
+        if right < len_in - 1:   # tail coverage (utils/util.py:306-309)
+            h_list = [len_in - n_out + x for x in range(n_out)]
+            plans.append([h_list[::2], h_list])
+    else:
+        right = n_out
+        right_in = n_in
+        while right_in <= len_in:
+            h_list = [right - n_out + x for x in range(n_out)]
+            l_list = [right_in - n_in + x for x in range(n_in)]
+            plans.append([l_list, h_list])
+            right += n_out - 1
+            right_in += n_in - 1
+        if right_in < len_in - 1:  # tail (utils/util.py:310-315)
+            right = len_in * 2 - 1
+            h_list = [right - n_out + x for x in range(n_out)]
+            l_list = [len_in - n_in + x for x in range(n_in)]
+            plans.append([l_list, h_list])
     return plans
 
 

@@ -75,7 +75,8 @@ def main(overrides: dict | None = None):
                 break
             yield b
 
-    res = ev.run(limited(), save_psnr_dir="./psnrs", logger=logger)
+    res = ev.run(limited(), save_psnr_dir="./psnrs", logger=logger,
+                 name=str(opt.get("name") or "psnrs"))
     s = res.summary()
     logger.info("FINAL: %s", s)
     print(s)

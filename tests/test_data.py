@@ -143,3 +143,33 @@ def test_flow_io_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(got, flow)
     img = flow_to_image(flow)
     assert img.shape == (6, 8, 3) and img.dtype == np.uint8
+
+
+def test_index_generation_matches_reference():
+    """Window planner vs the reference implementation imported directly
+    (pure python, utils/util.py:272-316)."""
+    import sys
+    import types
+
+    from motif_tpu.utils.video import test_index_generation as ours
+
+    # utils/util.py pulls torchvision for unrelated helpers
+    tv = types.ModuleType("torchvision")
+    tv_u = types.ModuleType("torchvision.utils")
+    tv_u.make_grid = object
+    tv.utils = tv_u
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.utils", tv_u)
+    sys.path.insert(0, "/root/reference")
+    try:
+        from utils.util import test_index_generation as ref  # type: ignore
+    finally:
+        sys.path.remove("/root/reference")
+
+    for skip in (False, True):
+        for n_out in (3, 5):
+            for len_in in (5, 7, 9, 12):
+                if 1 + n_out // 2 > len_in:
+                    continue
+                assert ours(skip, n_out, len_in) == ref(skip, n_out, len_in), (
+                    skip, n_out, len_in)
