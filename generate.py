@@ -44,7 +44,7 @@ def main():
             break
         gt = batch["gt"][:, 1:-1]
         H, W = gt.shape[2], gt.shape[3]
-        fake = ev.infer(batch["lq"], batch["times"], (H, W))
+        fake, _ = ev.infer(batch["lq"], batch["times"], (H, W))
         for n in range(fake.shape[0]):
             save_img(fake[n, 0], os.path.join(args.out_dir, f"clip{it}_t{n}_out.png"))
             save_img(gt[0, n], os.path.join(args.out_dir, f"clip{it}_t{n}_gt.png"))

@@ -59,7 +59,16 @@ def _convert_tensor(path: tuple[str, ...], t: np.ndarray) -> np.ndarray:
 
 def port_torch_state_dict(state_dict: Mapping[str, Any],
                           strip_prefix: str = "module.",
-                          skip: tuple[str, ...] = ("g_filter",)) -> dict:
+                          skip: tuple[str, ...] = ("g_filter",
+                                                   "num_batches_tracked",
+                                                   # RAFT's ResidualBlock
+                                                   # registers norm3 AND
+                                                   # aliases it inside the
+                                                   # downsample Sequential
+                                                   # (extractor.py:20,44-45);
+                                                   # the identical tensors
+                                                   # arrive as downsample.1.
+                                                   ".norm3.")) -> dict:
     """Convert a torch state dict (str → tensor/ndarray) into a nested flax
     params dict. Strips DataParallel 'module.' prefixes and unwraps a
     'params' key like the reference loader (base_model.py:89-101)."""

@@ -17,5 +17,6 @@ from motif_tpu.data.datasets import (  # noqa: F401
 from motif_tpu.data.pipeline import (  # noqa: F401
     BatchLoader,
     Subset,
+    collate_adobe_arbitrary,
     device_prefetch,
 )

@@ -27,9 +27,11 @@ class EvalResults:
     psnrs_all: list = field(default_factory=list)
     ssim_all: list = field(default_factory=list)
     l1: list = field(default_factory=list)
+    flows: list = field(default_factory=list)    # mean |flow - flow_GT| (test.py:240)
+    flows_0: list = field(default_factory=list)  # mean |flow| (test.py:241)
 
     def summary(self) -> dict:
-        return {
+        out = {
             "psnr": float(np.mean(self.psnr)),
             "psnr_anchor": float(np.mean(self.psnr_anchor)),
             "psnr_inter": float(np.mean(self.psnr_inter)),
@@ -38,6 +40,10 @@ class EvalResults:
             "l1": float(np.mean(self.l1)),
             "n_clips": len(self.psnr),
         }
+        if self.flows:  # only families that return flows (reference try/except)
+            out["flow_err"] = float(np.mean(self.flows))
+            out["flow_abs"] = float(np.mean(self.flows_0))
+        return out
 
 
 class Evaluator:
@@ -79,10 +85,15 @@ class Evaluator:
             model, iters, family = self.model, self.iters, self.family
 
             if family.startswith("Ours"):
+                # also surface the flow metrics the reference logs
+                # (test.py:239-242): mean |flow - flow_GT| and mean |flow|,
+                # reduced on-device to scalars.
                 def fwd(params, lq, times):
-                    frames, _, _ = model.apply({"params": params}, lq, times,
-                                               out_hw, use_gt=False, iters=iters)
-                    return frames
+                    frames, flow, flow_gt = model.apply(
+                        {"params": params}, lq, times,
+                        out_hw, use_gt=False, iters=iters)
+                    return frames, (jnp.abs(flow - flow_gt).mean(),
+                                    jnp.abs(flow).mean())
             elif family == "LIIF":
                 def fwd(params, lq, times):
                     preds = model.apply({"params": params}, lq, times, out_hw)
@@ -131,7 +142,7 @@ class Evaluator:
         HH, WW = h_n * s, w_n * s
 
         n = times.shape[1]
-        outs = []
+        outs, fstats = [], []
         step = self.chunk if self._chunked else n
         for start in range(0, n, step):
             t = times[:, start:start + step]
@@ -139,13 +150,19 @@ class Evaluator:
             if pad:
                 t = np.concatenate([t, np.repeat(t[:, -1:], pad, 1)], 1)
             fwd = self._forward(lq_p.shape, t.shape[1], (HH, WW))
-            frames = fwd(self.params, jnp.asarray(lq_p), jnp.asarray(t))
+            out = fwd(self.params, jnp.asarray(lq_p), jnp.asarray(t))
+            if isinstance(out, tuple):  # Ours family: (frames, flow scalars)
+                frames, fs = out
+                fstats.append((float(fs[0]), float(fs[1])))
+            else:
+                frames = out
             frames = np.asarray(frames)
             if pad:
                 frames = frames[: t.shape[1] - pad]
             outs.append(frames)
         out = np.concatenate(outs, 0)
-        return out[:, :, : out_hw[0], : out_hw[1]]
+        flow_stats = tuple(np.mean(fstats, 0)) if fstats else None
+        return out[:, :, : out_hw[0], : out_hw[1]], flow_stats
 
     def run(self, loader, save_psnr_dir: str | None = None,
             log_every: int = 1, logger=None, name: str = "") -> EvalResults:
@@ -154,7 +171,10 @@ class Evaluator:
             lq, gt, times = batch["lq"], batch["gt"], batch["times"]
             B = lq.shape[0]
             H, W = gt.shape[2], gt.shape[3]
-            fake = self.infer(lq, times, (H, W))          # (N, B, H, W, 3)
+            fake, flow_stats = self.infer(lq, times, (H, W))  # (N, B, H, W, 3)
+            if flow_stats is not None:
+                res.flows.append(flow_stats[0])
+                res.flows_0.append(flow_stats[1])
             real = gt[:, 1:-1]                            # (B, N, H, W, 3)
             n = real.shape[1]
             fake_bn = fake.transpose(1, 0, 2, 3, 4).reshape(B * n, H, W, 3)

@@ -43,6 +43,88 @@ class BottleneckBlock(nn.Module):
         return jax.nn.relu(x + y)
 
 
+class BatchNormEval(nn.Module):
+    """torch nn.BatchNorm2d in eval mode: normalize by the checkpointed
+    running stats (the reference RAFT never trains BN here — weights come
+    from a ckpt and MoTIF wraps the whole flow net in no_grad). Param names
+    match the ported torch keys (weight→kernel)."""
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        C = x.shape[-1]
+        scale = self.param("kernel", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        mean = self.param("running_mean", nn.initializers.zeros, (C,))
+        var = self.param("running_var", nn.initializers.ones, (C,))
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return (x - mean) * inv + bias
+
+
+class GroupNorm(nn.Module):
+    """torch nn.GroupNorm (affine)."""
+    num_groups: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        g = self.num_groups
+        scale = self.param("kernel", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        xg = x.reshape(B, H, W, g, C // g)
+        mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+        var = xg.var(axis=(1, 2, 4), keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
+        return xg.reshape(B, H, W, C) * scale + bias
+
+
+def _norm(kind: str, planes: int, name: str):
+    """ResidualBlock/BasicEncoder norm dispatch (extractor.py:14-46)."""
+    if kind == "instance":
+        return lambda v: instance_norm(v)
+    if kind == "batch":
+        bn = BatchNormEval(name=name)
+        return bn
+    if kind == "group":
+        return GroupNorm(planes // 8, name=name)
+    return lambda v: v
+
+
+class ResidualBlock(nn.Module):
+    """extractor.py:6-57 — 3x3/3x3 residual block with norm + optional
+    strided 1x1 downsample (norm3 inside the Sequential → 'downsample_1')."""
+    planes: int
+    norm_fn: str = "instance"
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = jax.nn.relu(_norm(self.norm_fn, self.planes, "norm1")(
+            _conv(self.planes, 3, self.stride, 1, name="conv1")(x)))
+        y = jax.nn.relu(_norm(self.norm_fn, self.planes, "norm2")(
+            _conv(self.planes, 3, 1, 1, name="conv2")(y)))
+        if self.stride != 1:
+            x = _norm(self.norm_fn, self.planes, "downsample_1")(
+                _conv(self.planes, 1, self.stride, name="downsample_0")(x))
+        return jax.nn.relu(x + y)
+
+
+class BasicEncoder(nn.Module):
+    """extractor.py:118-193 — the non-small RAFT encoder (64→96→128)."""
+    output_dim: int = 128
+    norm_fn: str = "batch"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = _conv(64, 7, 2, 3, name="conv1")(x)
+        y = jax.nn.relu(_norm(self.norm_fn, 64, "norm1")(y))
+        for i, (dim, stride) in enumerate([(64, 1), (96, 2), (128, 2)], start=1):
+            y = ResidualBlock(dim, self.norm_fn, stride, name=f"layer{i}_0")(y)
+            y = ResidualBlock(dim, self.norm_fn, 1, name=f"layer{i}_1")(y)
+        return _conv(self.output_dim, 1, name="conv2")(y)
+
+
 class SmallEncoder(nn.Module):
     """extractor.py:195-267 — 1/8-resolution feature encoder."""
     output_dim: int = 128
@@ -97,6 +179,54 @@ class FlowHead(nn.Module):
         return Conv2d(2, 3, 1, 1, name="conv2")(y)
 
 
+class SepConvGRU(nn.Module):
+    """update.py:33-59 — separable (1,5)/(5,1) two-pass ConvGRU."""
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, h: jax.Array, x: jax.Array) -> jax.Array:
+        for ax in ("1", "2"):
+            k = (1, 5) if ax == "1" else (5, 1)
+            p = (0, 2) if ax == "1" else (2, 0)
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = jax.nn.sigmoid(Conv2d(self.hidden_dim, k, 1, p, name=f"convz{ax}")(hx))
+            r = jax.nn.sigmoid(Conv2d(self.hidden_dim, k, 1, p, name=f"convr{ax}")(hx))
+            q = jnp.tanh(Conv2d(self.hidden_dim, k, 1, p, name=f"convq{ax}")(
+                jnp.concatenate([r * h, x], axis=-1)))
+            h = (1 - z) * h + z * q
+        return h
+
+
+class BasicMotionEncoder(nn.Module):
+    """update.py:79-97 (cor_planes = 4 * 9^2 = 324 at radius 4)."""
+
+    @nn.compact
+    def __call__(self, flow: jax.Array, corr: jax.Array) -> jax.Array:
+        cor = jax.nn.relu(Conv2d(256, 1, 1, 0, name="convc1")(corr))
+        cor = jax.nn.relu(Conv2d(192, 3, 1, 1, name="convc2")(cor))
+        flo = jax.nn.relu(Conv2d(128, 7, 1, 3, name="convf1")(flow))
+        flo = jax.nn.relu(Conv2d(64, 3, 1, 1, name="convf2")(flo))
+        out = jax.nn.relu(Conv2d(126, 3, 1, 1, name="conv")(
+            jnp.concatenate([cor, flo], axis=-1)))
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class BasicUpdateBlock(nn.Module):
+    """update.py:114-135 — returns (net, up_mask, delta); the mask drives
+    convex-combination upsampling (raft.py:72-83)."""
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(self.hidden_dim, name="gru")(net, x)
+        delta = FlowHead(256, name="flow_head")(net)
+        m = jax.nn.relu(Conv2d(256, 3, 1, 1, name="mask_0")(net))
+        mask = 0.25 * Conv2d(64 * 9, 1, 1, 0, name="mask_2")(m)
+        return net, mask, delta
+
+
 class SmallUpdateBlock(nn.Module):
     """update.py:99-112."""
     hidden_dim: int = 96
@@ -126,25 +256,52 @@ def upflow8(flow: jax.Array) -> jax.Array:
     return 8.0 * interpolate_bilinear(flow, (8 * H, 8 * W), align_corners=True)
 
 
-class RAFT(nn.Module):
-    """RAFT-small (raft.py:24-144). __call__ takes images in [0, 255]
-    (the reference rescales internally, raft.py:89-90) and returns the final
-    1/1-resolution flow (the [-1] entry of the reference's prediction list).
+def upsample_flow_convex(flow: jax.Array, mask: jax.Array) -> jax.Array:
+    """Convex-combination 8x upsampling (raft.py:72-83, non-small path).
+
+    flow (B, H, W, 2) coarse; mask (B, H, W, 64*9) with torch channel layout
+    c = k*64 + ry*8 + rx over the 3x3 neighborhood k=(dy+1)*3+(dx+1).
     """
-    hidden_dim: int = 96
-    context_dim: int = 64
+    B, H, W, _ = flow.shape
+    m = mask.reshape(B, H, W, 9, 8, 8)
+    m = jax.nn.softmax(m, axis=3)
+    fp = jnp.pad(8.0 * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    nb = jnp.stack([fp[:, 1 + dy: 1 + dy + H, 1 + dx: 1 + dx + W]
+                    for dy in (-1, 0, 1) for dx in (-1, 0, 1)], axis=3)
+    out = jnp.einsum("bhwkyx,bhwkc->bhwyxc", m, nb)      # (B,H,W,8,8,2)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(B, 8 * H, 8 * W, 2)
+
+
+class RAFT(nn.Module):
+    """RAFT (raft.py:24-144). __call__ takes images in [0, 255] (the
+    reference rescales internally, raft.py:89-90) and returns the final
+    1/1-resolution flow (the [-1] entry of the reference's prediction list).
+
+    small=True (MoTIF's configuration, Ours.py:417-421): hidden 96 /
+    context 64 / radius 3, SmallEncoder + SmallUpdateBlock, upflow8.
+    small=False (raft.py:35-39,55-56): hidden=context=128, radius 4,
+    BasicEncoder + BasicUpdateBlock with convex-combination upsampling.
+    """
+    small: bool = True
     corr_levels: int = 4
-    corr_radius: int = 3
 
     @nn.compact
     def __call__(self, image1: jax.Array, image2: jax.Array, iters: int = 12,
                  return_all: bool = False):
         img1 = 2.0 * (image1 / 255.0) - 1.0
         img2 = 2.0 * (image2 / 255.0) - 1.0
+        hdim = 96 if self.small else 128
+        cdim = 64 if self.small else 128
+        radius = 3 if self.small else 4
 
-        fnet = SmallEncoder(128, "instance", name="fnet")
-        cnet = SmallEncoder(self.hidden_dim + self.context_dim, "none", name="cnet")
-        update = SmallUpdateBlock(self.hidden_dim, name="update_block")
+        if self.small:
+            fnet = SmallEncoder(128, "instance", name="fnet")
+            cnet = SmallEncoder(hdim + cdim, "none", name="cnet")
+            update = SmallUpdateBlock(hdim, name="update_block")
+        else:
+            fnet = BasicEncoder(256, "instance", name="fnet")
+            cnet = BasicEncoder(hdim + cdim, "batch", name="cnet")
+            update = BasicUpdateBlock(hdim, name="update_block")
 
         B = img1.shape[0]
         fmaps = fnet(jnp.concatenate([img1, img2], axis=0))
@@ -153,24 +310,31 @@ class RAFT(nn.Module):
         pyramid = corr_pyramid(all_pairs_corr(fmap1, fmap2), self.corr_levels)
 
         c = cnet(img1)
-        net = jnp.tanh(c[..., : self.hidden_dim])
-        inp = jax.nn.relu(c[..., self.hidden_dim:])
+        net = jnp.tanh(c[..., :hdim])
+        inp = jax.nn.relu(c[..., hdim:])
 
         H8, W8 = fmap1.shape[1], fmap1.shape[2]
         coords0 = coords_grid(B, H8, W8)
         coords1 = coords0
 
         lowres = []
+        up_mask = None
         for _ in range(iters):
             coords1 = jax.lax.stop_gradient(coords1)  # raft.py:123 detach
-            corr = corr_lookup(pyramid, coords1, self.corr_radius)
+            corr = corr_lookup(pyramid, coords1, radius)
             flow = coords1 - coords0
-            net, delta = update(net, inp, corr, flow)
+            if self.small:
+                net, delta = update(net, inp, corr, flow)
+            else:
+                net, up_mask, delta = update(net, inp, corr, flow)
             coords1 = coords1 + delta
             if return_all:
                 lowres.append(coords1 - coords0)
 
-        flow_up = upflow8(coords1 - coords0)
+        if up_mask is None:
+            flow_up = upflow8(coords1 - coords0)
+        else:
+            flow_up = upsample_flow_convex(coords1 - coords0, up_mask)
         if return_all:
             return flow_up, jnp.stack(lowres)
         return flow_up

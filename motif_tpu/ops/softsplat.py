@@ -193,6 +193,35 @@ def splat_fused(img: jax.Array, flow: jax.Array, z: jax.Array,
     return out, norm, jax.lax.stop_gradient(z_max), jax.lax.stop_gradient(count)
 
 
+def function_softsplat(img: jax.Array, flow: jax.Array, z: jax.Array | None,
+                       mode: str = "softmax"):
+    """The reference's four-mode API (FunctionSoftsplat,
+    softsplat_cp.py:320-347). img (B,H,W,C), flow (B,H,W,2), z (B,H,W,1)
+    (None allowed for 'summation'/'average').
+
+      summation — plain splat_sum(img); returns (out, None)
+      average   — splat [img | 1];       returns (out, normalizer)
+      linear    — splat [img*z | z];     returns (out, normalizer)
+      softmax   — splat [img*e^z | e^z]; returns (out, normalizer)
+
+    Like the reference, the output is NOT normalised (the division is
+    commented out there); the trailing channel is returned separately.
+    """
+    assert mode in ("summation", "average", "linear", "softmax")
+    if mode == "summation":
+        return splat_sum(img, flow), None
+    if mode == "average":
+        w = jnp.ones_like(img[..., :1])
+    elif mode == "linear":
+        assert z is not None and z.shape[-1] == 1
+        w = z
+    else:
+        assert z is not None and z.shape[-1] == 1
+        w = jnp.exp(z)
+    out = splat_sum(jnp.concatenate([img * w, w], axis=-1), flow)
+    return out[..., :-1], out[..., -1:]
+
+
 def softmax_splat(img: jax.Array, flow: jax.Array, z: jax.Array):
     """Softmax-mode splat (reference Softsplat module, softsplat_cp.py:349).
 

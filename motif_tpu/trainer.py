@@ -87,14 +87,19 @@ class Trainer:
     (VideoSR_base_model.py:142).
     """
 
-    def __init__(self, model, cfg: TrainerConfig, out_hw, iters: int = 12,
-                 mesh=None, flow_loss: bool = True, seed: int = 0):
+    def __init__(self, model, cfg: TrainerConfig, out_hw=None, iters: int = 12,
+                 mesh=None, flow_loss: bool = True, seed: int = 0,
+                 family: str = "Ours"):
         self.model = model
         self.cfg = cfg
-        self.out_hw = tuple(out_hw)
+        # out_hw=None: derive per batch from the GT shape — the arbitrary-
+        # scale collates (data/__init__.py:91-173) emit bucketed variable
+        # sizes; each bucket gets its own compiled step.
+        self.out_hw = tuple(out_hw) if out_hw is not None else None
         self.iters = iters
         self.mesh = mesh or make_mesh()
-        self.flow_loss = flow_loss
+        self.flow_loss = flow_loss and family.startswith("Ours")
+        self.family = family
         self.tx, self.schedule = make_optimizer(cfg)
         self._rng = random.Random(seed)
         self._steps = {}
@@ -103,35 +108,59 @@ class Trainer:
         # per-step device→host round-trip.
         self._host_step: int | None = None
 
+    def _batch_out_hw(self, batch) -> tuple[int, int]:
+        if self.out_hw is not None:
+            return self.out_hw
+        gt = batch["gt"]                     # (B, N+2, HH, WW, 3)
+        return (int(gt.shape[2]), int(gt.shape[3]))
+
     def init_state(self, rng, sample_batch) -> TrainState:
-        flows = None
-        if "flow" in sample_batch or "flow_gt" in sample_batch:
-            flows = (sample_batch.get("flow")[:1],
-                     sample_batch.get("flow_gt")[:1])
-        params = self.model.init(
-            rng, sample_batch["lq"][:1], sample_batch["times"][:1], self.out_hw,
-            use_gt=True, iters=self.iters,
-            target_frames=sample_batch["gt"][:1], train=True,
-            flows=flows)["params"]
+        out_hw = self._batch_out_hw(sample_batch)
+        if self.family == "LIIF":
+            params = self.model.init(
+                rng, sample_batch["lq"][:1], sample_batch["times"][:1],
+                out_hw)["params"]
+        else:
+            flows = None
+            if "flow" in sample_batch or "flow_gt" in sample_batch:
+                flows = (sample_batch.get("flow")[:1],
+                         sample_batch.get("flow_gt")[:1])
+            params = self.model.init(
+                rng, sample_batch["lq"][:1], sample_batch["times"][:1], out_hw,
+                use_gt=True, iters=self.iters,
+                target_frames=sample_batch["gt"][:1], train=True,
+                flows=flows)["params"]
         opt_state = self.tx.init(params)
         state = TrainState(params=params, opt_state=opt_state,
                            step=jnp.zeros((), jnp.int32))
         return jax.device_put(state, replicate(self.mesh))
 
-    def _build_step(self, use_gt: bool):
+    def _build_step(self, use_gt: bool, out_hw: tuple[int, int]):
         cfg = self.cfg
         criterion = losses.PIXEL_CRITERIA[cfg.pixel_criterion]
-        model, out_hw, iters, flow_loss = self.model, self.out_hw, self.iters, self.flow_loss
+        model, iters, flow_loss = self.model, self.iters, self.flow_loss
+        family = self.family
 
         def loss_fn(params, batch, step):
-            # precomputed flows (Ours_44 / Vimeo7 npys) ride along if present
-            flows = None
-            if "flow" in batch or "flow_gt" in batch:
-                flows = (batch.get("flow"), batch.get("flow_gt"))
-            frames, flow, flow_gt = model.apply(
-                {"params": params}, batch["lq"], batch["times"], out_hw,
-                use_gt=use_gt, iters=iters, target_frames=batch["gt"],
-                train=True, flows=flows)
+            if family == "LIIF":
+                # reference: fake_H = netG(var_L, times, scale), a per-time
+                # list (VideoSR_base_model.py:134-135, Sakuya_arch.py:604-610).
+                # NB the reference then evaluates fake_H.shape[3] on that
+                # list for the scale correction (:151) — an AttributeError
+                # on this path as committed; we apply the correction the yml
+                # grid clearly intends, using the actual output width.
+                preds = model.apply({"params": params}, batch["lq"],
+                                    batch["times"], out_hw)
+                frames = jnp.stack(preds, 0)                # (N, B, HH, WW, 3)
+            else:
+                # precomputed flows (Ours_44 / Vimeo7 npys) ride along if present
+                flows = None
+                if "flow" in batch or "flow_gt" in batch:
+                    flows = (batch.get("flow"), batch.get("flow_gt"))
+                frames, flow, flow_gt = model.apply(
+                    {"params": params}, batch["lq"], batch["times"], out_hw,
+                    use_gt=use_gt, iters=iters, target_frames=batch["gt"],
+                    train=True, flows=flows)
             gt = batch["gt"][:, 1:-1]                       # (B, N, HH, WW, 3)
             n = frames.shape[0]
             l_pix = 0.0
@@ -173,14 +202,19 @@ class Trainer:
         if self._host_step is None:
             self._host_step = int(state.step)  # single sync at init/resume
         step_i = self._host_step
-        ratio = max(0.0, 1.0 - step_i / self.cfg.teacher_forcing_steps)
-        use_gt = self._rng.random() < ratio
-        if use_gt not in self._steps:
-            self._steps[use_gt] = self._build_step(use_gt)
+        if self.family == "LIIF":
+            use_gt = False   # LIIF has no teacher-forcing input (reference :134)
+        else:
+            ratio = max(0.0, 1.0 - step_i / self.cfg.teacher_forcing_steps)
+            use_gt = self._rng.random() < ratio
+        out_hw = self._batch_out_hw(batch)
+        key = (use_gt, out_hw)
+        if key not in self._steps:
+            self._steps[key] = self._build_step(use_gt, out_hw)
         arrays = {k: v for k, v in batch.items()
                   if hasattr(v, "shape") and k in ("lq", "gt", "times",
                                                    "flow", "flow_gt")}
-        new_state, aux = self._steps[use_gt](state, arrays)
+        new_state, aux = self._steps[key](state, arrays)
         aux["use_gt"] = use_gt
         self._host_step = step_i + 1
         return new_state, aux

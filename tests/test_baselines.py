@@ -22,6 +22,7 @@ def test_pixel_shuffle_parity(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_zsm_forward(rng):
     m = ZSM(nf=16, front_rbs=1, back_rbs=1)
     x = jnp.asarray(rng.random((1, 2, 8, 8, 3), dtype=np.float32))
@@ -55,6 +56,7 @@ def test_edvr_forward(rng):
     assert "temporal_attn1" in p["fusion"]
 
 
+@pytest.mark.slow
 def test_supersloMo_forward(rng):
     m = SuperSloMo(h0=64, w0=96)
     x = jnp.asarray(rng.random((1, 2, 64, 96, 3), dtype=np.float32))

@@ -91,6 +91,7 @@ def test_dcn_v2_zero_offset_is_plain_conv(rng):
     np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy(), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_dcn_onehot_gradients_match_gather_backend(rng):
     """The custom_vjp backward of the one-hot sampler must match autodiff of
     the gather transcription (the CUDA col2im grads) for input, offset,

@@ -19,12 +19,13 @@ def _infer(model, family, init_args, n_in=4, n_times=3, hw=(16, 24), scale=4):
     rng = np.random.default_rng(0)
     lq = rng.random((1, n_in, *hw, 3), np.float32)
     times = np.linspace(0, 1, n_times, dtype=np.float32)[None]
-    out = ev.infer(lq, times, (hw[0] * scale, hw[1] * scale))
+    out, _ = ev.infer(lq, times, (hw[0] * scale, hw[1] * scale))
     assert out.shape == (n_times, 1, hw[0] * scale, hw[1] * scale, 3), out.shape
     assert np.isfinite(out).all()
     return out
 
 
+@pytest.mark.slow
 def test_eval_dispatch_zsm(rng):
     m = ZSM(nf=16, front_rbs=1, back_rbs=1)
     x0 = jnp.zeros((1, 2, 16, 24, 3))
@@ -32,6 +33,7 @@ def test_eval_dispatch_zsm(rng):
     _infer(m, "ZSM", (x0,), n_in=2, n_times=3)
 
 
+@pytest.mark.slow
 def test_eval_dispatch_tmnet(rng):
     m = TMNet(nf=16, front_rbs=1, back_rbs=1)
     x0 = jnp.zeros((1, 2, 16, 24, 3))
@@ -57,6 +59,7 @@ def test_eval_dispatch_supersloMo(rng):
     _infer(m, "Super_SloMo", (x0, 2), n_in=2, n_times=3, hw=(16, 24))
 
 
+@pytest.mark.slow
 def test_eval_dispatch_liif(rng):
     m = VideoINR(nf=16, front_rbs=1, back_rbs=1)
     x0 = jnp.zeros((1, 2, 16, 24, 3))

@@ -53,6 +53,7 @@ def test_motif_forward_shapes(tiny_motif):
     assert frames.min() >= 0.0 and frames.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_motif_jit_and_train_path(tiny_motif):
     model, params, x, tt, out_hw = tiny_motif
     B, N = x.shape[0], tt.shape[1]
@@ -86,6 +87,7 @@ def test_motif_param_tree_names(tiny_motif):
     assert "cell_list_0" in lstm and "pcd_h" in lstm
 
 
+@pytest.mark.slow
 def test_motif_gradients_flow(tiny_motif):
     """Charbonnier-style loss must produce finite, nonzero grads for the
     trainable trunk (encoder / sirens / flow_process / alpha)."""
@@ -106,6 +108,7 @@ def test_motif_gradients_flow(tiny_motif):
     assert float(jnp.abs(grads["alpha"]).sum()) > 0.0
 
 
+@pytest.mark.slow
 def test_motif_44_variant(rng):
     """4-anchor Ours_44 variant (Ours_44.py): 16 flow pairs, per-time
     residual selection, N=1 per call."""
@@ -127,6 +130,7 @@ def test_motif_44_variant(rng):
     assert checkpoint.verify_port(p2, params) == []
 
 
+@pytest.mark.slow
 def test_motif_44_precomputed_flows(rng):
     """Ours_44 with dataset-provided lr_flow / hr flow_GT (training path)."""
     model = MoTIF(setting=5, n_anchors=4)

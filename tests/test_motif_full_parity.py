@@ -31,6 +31,9 @@ import jax.numpy as jnp
 from motif_tpu import checkpoint
 from motif_tpu.models.motif import MoTIF
 
+pytestmark = pytest.mark.slow
+
+
 REF = "/root/reference"
 
 

@@ -3,6 +3,7 @@
 so the cost volume is covered by test_corr.py and the rest structurally)."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 
@@ -58,6 +59,7 @@ def test_masked_backwarp_vs_torch(rng):
     assert float(jnp.abs(out_oob).sum()) == 0.0
 
 
+@pytest.mark.slow
 def test_pwcnet_forward_shapes(rng):
     model = PWCNet()
     a = jnp.asarray(rng.random((1, 64, 96, 3), dtype=np.float32))
@@ -72,6 +74,7 @@ def test_pwcnet_forward_shapes(rng):
     assert "moduleMain_12" in params["moduleRefiner"]
 
 
+@pytest.mark.slow
 def test_pwcnet_light_full_parity(rng):
     """Full-graph parity vs the reference PWCNet_light on CPU, with the CuPy
     9x9 correlation stubbed by a torch wrapper of ops.corr.local_corr (which

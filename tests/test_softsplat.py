@@ -77,6 +77,28 @@ def test_softmax_splat_returns_unnormalised_pair(rng):
     np.testing.assert_allclose(np.asarray(norm), want[..., -1:], atol=1e-5, rtol=1e-5)
 
 
+def test_function_softsplat_modes(rng):
+    """All four reference modes (FunctionSoftsplat, softsplat_cp.py:320-347)
+    against the loop oracle."""
+    values, flow = _rand_case(rng, C=4)
+    z = rng.standard_normal((2, 6, 7, 1)).astype(np.float32)
+    v, f, zz = jnp.asarray(values), jnp.asarray(flow), jnp.asarray(z)
+
+    out, norm = softsplat.function_softsplat(v, f, None, "summation")
+    np.testing.assert_allclose(np.asarray(out), _np_splat(values, flow, "sum"),
+                               atol=1e-5, rtol=1e-5)
+    assert norm is None
+
+    for mode, w in (("average", np.ones_like(z)), ("linear", z),
+                    ("softmax", np.exp(z))):
+        out, norm = softsplat.function_softsplat(v, f, zz, mode)
+        want = _np_splat(np.concatenate([values * w, w], -1), flow, "sum")
+        np.testing.assert_allclose(np.asarray(out), want[..., :-1],
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(norm), want[..., -1:],
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_splat_sum_gradients_numerical(rng):
     """Grad w.r.t. input AND flow vs central finite differences —
     validates parity with kernel_Softsplat_updateGradInput/GradFlow."""

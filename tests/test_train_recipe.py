@@ -14,6 +14,9 @@ from motif_tpu.data import Subset, Vimeo7Dataset, create_dataset
 from motif_tpu.parallel import host_shard_indices
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def vimeo_flow_tree(tmp_path_factory):
     """Vimeo-style clip WITH flow npys in the reference layout:

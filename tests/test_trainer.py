@@ -40,6 +40,7 @@ def test_cosine_restart_matches_reference_scheduler():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_multichip_dryrun():
     """The driver's dryrun_multichip contract on 8 virtual CPU devices."""
     import __graft_entry__ as g

@@ -45,8 +45,11 @@ def main():
 
     net_opt = opt["network_G"]
     which = net_opt.get("which_model_G") or "Ours"
-    assert which.startswith("Ours"), \
-        "train.py currently drives the MoTIF ('Ours') family"
+    # train.py trains any define_G model like the reference (train.py:140 →
+    # networks.py:17-61); in practice the grid uses the Ours family and LIIF.
+    family = "LIIF" if which == "LIIF" else "Ours"
+    assert which.startswith("Ours") or which == "LIIF", \
+        f"no training recipe for [{which}] (reference grid: Ours*/LIIF)"
     model = define_g(net_opt)
     # Ours_44 / Ours_4 train from precomputed flow npys (Vimeo7_dataset.py:
     # 143,152 + Ours_44.py flows branch); Ours_ZSM trains without the flow
@@ -55,7 +58,9 @@ def main():
     flow_loss = which != "Ours_ZSM"
 
     dataset_opt = dict(opt["datasets"]["train"])
-    if four_anchor and dataset_opt.get("mode") == "vimeo":
+    mode = dataset_opt.get("mode") or ""
+    arbitrary = mode.endswith("_a")   # Adobe_a / vimeo_a batch-level collate
+    if four_anchor and mode == "vimeo":
         dataset_opt.setdefault("load_flows", True)
     dataset = create_dataset(dataset_opt)
     if jax.process_count() > 1:
@@ -67,18 +72,32 @@ def main():
     assert global_batch % jax.process_count() == 0, \
         f"batch_size {global_batch} must divide over {jax.process_count()} hosts"
     batch_size = global_batch // jax.process_count()
+    collate_kw = {}
+    if arbitrary:
+        # arbitrary space-time collate (collate_function(_vimeo),
+        # data/__init__.py:91-173): random per-batch d_scale, MATLAB-bicubic
+        # LQ synthesis, bucketed GT sizes (one compiled step per bucket).
+        import functools
+        import random as _random
+        from motif_tpu.data import collate_adobe_arbitrary
+        lq_size = int(dataset_opt.get("LQ_size") or
+                      (32 if mode == "vimeo_a" else 64))
+        collate_kw["collate"] = functools.partial(
+            collate_adobe_arbitrary, lq_size=lq_size,
+            rng=_random.Random(seed + jax.process_index()))
     loader = BatchLoader(dataset, batch_size=batch_size, shuffle=True,
                          seed=seed + jax.process_index(),
-                         epoch_ratio=int(opt.get("dataset_ratio") or 200))
+                         epoch_ratio=int(opt.get("dataset_ratio") or 200),
+                         **collate_kw)
 
     scale = int(opt.get("scale") or 4)
     gt_size = int(dataset_opt.get("GT_size") or 128)
-    out_hw = (gt_size, gt_size)
+    out_hw = None if arbitrary else (gt_size, gt_size)
 
     mesh = make_mesh()
     trainer = Trainer(model, cfg.trainer_config_from_opt(opt), out_hw,
                       iters=int(net_opt.get("iters") or 12), mesh=mesh,
-                      flow_loss=flow_loss, seed=seed)
+                      flow_loss=flow_loss, seed=seed, family=family)
 
     sample = next(iter(loader.epoch(0)))
     state = trainer.init_state(jax.random.PRNGKey(seed), sample)
