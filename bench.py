@@ -32,19 +32,12 @@ A100_ASSUMED_UTIL = 0.25
 V5E_BF16_PEAK = 197e12
 
 
-def main():
+def _measure(model, N=3):
+    """Compile + steady-state-time one MoTIF forward; returns (fps, flops)."""
     import jax
-
-    # persistent compile cache: the full-model XLA compile takes minutes on
-    # the remote backend; cached recompiles are seconds.
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     import jax.numpy as jnp
-    from motif_tpu.models.motif import MoTIF
 
-    model = MoTIF(setting=5)
-    B, N_in, H, W, S, N = 1, 4, 64, 112, 4, 3
+    B, N_in, H, W, S = 1, 4, 64, 112, 4
     HH, WW = H * S, W * S
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((B, N_in, H, W, 3), dtype=np.float32))
@@ -76,21 +69,44 @@ def main():
         np.asarray(frames)
         times.append((time.perf_counter() - t0) / reps)
     sec = float(np.median(times))
-    fps = (N * B) / sec
+    return (N * B) / sec, flops, sec
 
-    mfu = (flops / sec) / V5E_BF16_PEAK if flops else None
-    ref_est_fps = (N * B) / (flops / (A100_FP32_PEAK * A100_ASSUMED_UTIL)) \
+
+def main():
+    import jax
+
+    # persistent compile cache: the full-model XLA compile takes minutes on
+    # the remote backend; cached recompiles are seconds.
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from motif_tpu.models.motif import MoTIF
+
+    # Headline: bf16 trunk + fp32 flow/splat (the accuracy-gated serving
+    # configuration — tests/test_bf16.py bounds its deviation from fp32;
+    # BASELINE.md records the Vid4 delta). fp32 is reported alongside.
+    fps16, flops16, sec16 = _measure(
+        MoTIF(setting=5, compute_dtype="bfloat16", fused_decode=True))
+    fps32, flops32, sec32 = _measure(MoTIF(setting=5))
+
+    # FLOP count for MFU/estimates: use the fp32 graph's count (the bf16
+    # graph computes the same math; XLA's cost model is dtype-independent
+    # here but the fp32 count is the apples-to-apples reference workload).
+    flops = flops32 or flops16
+    mfu = (flops / sec16) / V5E_BF16_PEAK if flops else None
+    ref_est_fps = 3.0 / (flops / (A100_FP32_PEAK * A100_ASSUMED_UTIL)) \
         if flops else None
 
     out = {
-        "metric": "HR output frames/sec/chip (Vimeo 4x, LQ 64x112 -> HR 256x448, 3 times/fwd)",
-        "value": round(fps, 3),
+        "metric": "HR output frames/sec/chip (Vimeo 4x, LQ 64x112 -> HR 256x448, 3 times/fwd, bf16 trunk + fp32 flow/splat, fused LIIF decode)",
+        "value": round(fps16, 3),
         "unit": "frames/s",
+        "fp32_fps": round(fps32, 3),
         "flops_per_fwd": flops,
         "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
         "a100_ref_est_fps": round(ref_est_fps, 3) if ref_est_fps else None,
     }
-    out["vs_baseline"] = round(fps / ref_est_fps, 3) if ref_est_fps else None
+    out["vs_baseline"] = round(fps16 / ref_est_fps, 3) if ref_est_fps else None
     print(json.dumps(out))
 
 

@@ -29,15 +29,21 @@ def define_g(opt: dict):
         from motif_tpu.models.flow_precompute import FlowPrecompute
 
         return FlowPrecompute(scale=int(opt.get("scale") or 4))
+    # mixed-precision compute (this framework's extension, not a reference
+    # field): `compute_dtype: bfloat16` in network_G runs the conv trunk /
+    # SIRENs in bf16 with fp32 flow+splat (models/motif.py compute_dtype).
+    cdt = opt.get("compute_dtype") or None
     if which == "Ours_7":
         # first-two-anchor, linear-motion fork with hardcoded flags
         # (Ours_7.py:440-448) — equivalent to setting=3
-        return MoTIF(setting=3, channel=nf, linear_motion=True)
+        return MoTIF(setting=3, channel=nf, linear_motion=True,
+                     compute_dtype=cdt)
     if which.startswith("Ours"):
         # Ours_44 / Ours_4 are the 4-anchor variants (Ours_44.py); the other
         # forks differ only in training wiring (see module docstring).
         n_anchors = 4 if which in ("Ours_44", "Ours_4") else 2
-        return MoTIF(setting=setting, channel=nf, n_anchors=n_anchors)
+        return MoTIF(setting=setting, channel=nf, n_anchors=n_anchors,
+                     compute_dtype=cdt)
     if which == "LIIF":
         return VideoINR(nf=nf, front_rbs=front, back_rbs=back, groups=groups)
     if which in ("ZSM", "Zooming"):

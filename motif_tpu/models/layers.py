@@ -252,7 +252,13 @@ class ConvTranspose2d(nn.Module):
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """torch nn.InstanceNorm2d(affine=False, track_running_stats=False):
-    per-sample per-channel normalization over spatial dims, biased var."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    per-sample per-channel normalization over spatial dims, biased var.
+
+    Statistics accumulate in (at least) fp32 — a bf16 mean over thousands
+    of pixels loses ~2 decimal digits — and the result is cast back to the
+    input dtype so a bf16 trunk stays bf16."""
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(acc)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)

@@ -101,6 +101,19 @@ class MoTIF(nn.Module):
     # The reference fork hardcodes input_Z=True, predict_Z=decoder_Z=False,
     # i.e. use setting=3 with this flag.
     linear_motion: bool = False
+    # Fused LIIF decode: exact-math reordering that folds the STINF/SINF
+    # SIREN first layers through the nearest-upsample so the wide HR concat
+    # inputs never materialize (see the use_fused block below). Off by
+    # default so parity gates see the reference's float-op order; the
+    # serving/bench configuration turns it on.
+    fused_decode: bool = False
+    # Mixed-precision compute: None keeps every stage in the input dtype
+    # (fp32/fp64 — the parity configuration). "bfloat16" runs the conv
+    # trunk, RAFT, LIIF gathers and SIRENs in bf16 (half the HBM traffic,
+    # full-rate MXU) while flow values, reliability metrics, the splat
+    # accumulation and the final frames stay fp32 — the numerically
+    # sensitive parts (exp(z) normalisation, scatter-add ordering).
+    compute_dtype: str | None = None
 
     @property
     def warp_to_many(self) -> bool:
@@ -137,14 +150,28 @@ class MoTIF(nn.Module):
         ch = self.channel
         n = self.n_anchors
         # The released reference model uses groups=1 (Ours.py:449); the G>1
-        # channel-split quirks of Ours.py:783-791 are not reproduced yet.
-        assert G == 1, "MoTIF groups>1 not supported (reference uses 1)"
+        # channel-split quirks of Ours.py:783-791 are not reproduced.
+        if G != 1:
+            raise NotImplementedError(
+                "MoTIF groups>1 is not supported: every reference config and "
+                "the released best.pth use groups=1 (Ours.py:449); the G>1 "
+                "channel-split path (Ours.py:783-791) reads the SINF output "
+                "in per-group slices and is untested upstream. Set "
+                "network_G.groups: 1 (NB the yml 'groups: 8' field is the "
+                "PCD deformable-conv group count, not this).")
         assert n in (2, 4)
         # anchor time positions / rsd divisor (Ours.py:615-621 [0,8]/8;
         # Ours_44.py [0,2,4,6]/6)
         positions = [0.0, 8.0] if n == 2 else [0.0, 2.0, 4.0, 6.0]
         rsd_div = positions[-1]  # 8.0 (Ours) / 6.0 (Ours_44)
         n2 = n * n
+
+        # mixed precision (see compute_dtype): cd casts INTO the compute
+        # dtype, cf casts back to the input dtype. Both are identity when
+        # compute_dtype is unset so the fp32/fp64 parity path is untouched.
+        cdt = getattr(jnp, self.compute_dtype) if self.compute_dtype else None
+        cd = (lambda a: a.astype(cdt)) if cdt is not None else (lambda a: a)
+        cf = (lambda a: a.astype(x.dtype)) if cdt is not None else (lambda a: a)
 
         raft = RAFT(name="flow_predictor")
         if (self.is_initializing() and flows is not None
@@ -180,14 +207,21 @@ class MoTIF(nn.Module):
             # precomputed LR flows (Ours_44.py: dataset lr_flow npys)
             flow = flows[0].transpose(1, 0, 2, 3, 4).reshape(n2 * B, H, W, 2)
         else:
+            # The reference runs RAFT on all n² directed pairs INCLUDING the
+            # (i,i) self-pairs, then zeroes those flows (Ours.py:544,551-553).
+            # Running only the n(n-1) cross pairs and filling exact zeros is
+            # mathematically identical and drops 2/4 (n=2) or 4/16 (n=4) of
+            # the flow-net cost.
             hr_frames = [interpolate_bilinear(f, (HH, WW)) for f in frames]
-            src = jnp.concatenate([hr_frames[i] for i in range(n) for _ in range(n)], 0)
-            dst = jnp.concatenate([hr_frames[j] for _ in range(n) for j in range(n)], 0)
-            flow = raft(src * 255.0, dst * 255.0, iters=iters)
-            flow = interpolate_bilinear(flow, (H, W)) * (H / HH)
-            flow = flow.reshape(n2, B, H, W, 2)
-            for i in range(n):  # zero the self-pairs (Ours.py:551-553)
-                flow = flow.at[i * n + i].set(0.0)
+            pairs = [(i, j) for i in range(n) for j in range(n) if i != j]
+            src = jnp.concatenate([hr_frames[i] for i, _ in pairs], 0)
+            dst = jnp.concatenate([hr_frames[j] for _, j in pairs], 0)
+            fl = cf(raft(cd(src * 255.0), cd(dst * 255.0), iters=iters))
+            fl = interpolate_bilinear(fl, (H, W)) * (H / HH)
+            fl = fl.reshape(len(pairs), B, H, W, 2)
+            flow = jnp.zeros((n2, B, H, W, 2), fl.dtype)
+            for k, (i, j) in enumerate(pairs):
+                flow = flow.at[i * n + j].set(fl[k])
             flow = flow.reshape(n2 * B, H, W, 2)
 
         # psi_photo (Ours.py:562-563): warp the *target* frame back with the
@@ -218,26 +252,31 @@ class MoTIF(nn.Module):
             flow_gt = fg.transpose(2, 0, 1, 3, 4, 5).reshape(n * B * N, HH, WW, 2)
             flow_gt = jax.lax.stop_gradient(flow_gt)
         elif train:
-            assert target_frames is not None and n == 2
+            # Live RAFT teacher at 128² from each anchor frame to each target
+            # (Ours.py:586-595 endpoint anchors; the n=4 generalization
+            # mirrors Ours_44.py:556-560's commented 4-anchor live teacher —
+            # anchor frames are the GT frames at the anchor time positions).
+            assert target_frames is not None
             tf = target_frames
+            T = tf.shape[1]
             small = interpolate_bilinear(
-                tf.reshape(B * tf.shape[1], HH, WW, 3), (128, 128)
-            ).reshape(B, tf.shape[1], 128, 128, 3)
-            t_fr0, t_fr1 = small[:, 0], small[:, -1]
+                tf.reshape(B * T, HH, WW, 3), (128, 128)
+            ).reshape(B, T, 128, 128, 3)
+            aidx = [int(round(p / rsd_div * (T - 1))) for p in positions]
             t_frs = small[:, 1:-1]                                  # (B, N, ...)
             anchors = jnp.concatenate([
-                jnp.repeat(t_fr0[:, None], N, 1).reshape(B * N, 128, 128, 3),
-                jnp.repeat(t_fr1[:, None], N, 1).reshape(B * N, 128, 128, 3),
-            ], 0)
-            targets = jnp.tile(t_frs.reshape(B * N, 128, 128, 3), (2, 1, 1, 1))
-            flow_gt = raft(anchors * 255.0, targets * 255.0, iters=iters)
+                jnp.repeat(small[:, k][:, None], N, 1).reshape(B * N, 128, 128, 3)
+                for k in aidx], 0)
+            targets = jnp.tile(t_frs.reshape(B * N, 128, 128, 3), (n, 1, 1, 1))
+            flow_gt = cf(raft(cd(anchors * 255.0), cd(targets * 255.0),
+                              iters=iters))
             flow_gt = interpolate_bilinear(flow_gt, (HH, WW)) * (HH / 128.0)
-            flow_gt = jax.lax.stop_gradient(flow_gt)                # (2BN,HH,WW,2)
+            flow_gt = jax.lax.stop_gradient(flow_gt)                # (nBN,HH,WW,2)
         else:
             flow_gt = jnp.zeros((n * B * N, HH, WW, 2), x.dtype)
 
         # ---- encoder (Ours.py:601-613 / Ours_44 residual-by-time) ----
-        feat_t = ZSMEncoder(ch, name="encoder")(jnp.stack(frames, 1))  # (B,2n-1,H,W,ch)
+        feat_t = ZSMEncoder(ch, name="encoder")(cd(jnp.stack(frames, 1)))  # (B,2n-1,H,W,ch)
         if n == 2:
             residual_t = jnp.repeat(
                 feat_t[:, feat_t.shape[1] // 2][:, None], N, axis=1)   # (B,N,H,W,ch)
@@ -264,7 +303,7 @@ class MoTIF(nn.Module):
             ff = jnp.concatenate(parts, axis=-1)                    # (n,B,n,H,W,7|4)
             ff = ff.reshape(n * B, n, H, W, -1).transpose(0, 2, 3, 1, 4)
             ff = ff.reshape(n * B, H, W, -1)                        # grouped by j
-            y = Conv2d(ch, 3, 1, 1, groups=n, name="flow_process_0")(ff)
+            y = Conv2d(ch, 3, 1, 1, groups=n, name="flow_process_0")(cd(ff))
             y = Conv2d(ch, 3, 1, 1, groups=2, name="flow_process_1")(y)
             y = lrelu(y)
             for i in range(3, 8):
@@ -280,7 +319,7 @@ class MoTIF(nn.Module):
                 jnp.asarray(rsd.reshape(n2, 1, 1, 1, 2) / rsd_div),
                 (n2, B, H, W, 2)).reshape(n2 * B, H, W, 2).astype(x.dtype))
             ff = jnp.concatenate(p_parts, axis=-1)
-            y = Conv2d(ch // 2, 3, 1, 1, name="flow_process_0")(ff)
+            y = Conv2d(ch // 2, 3, 1, 1, name="flow_process_0")(cd(ff))
             y = Conv2d(ch, 3, 1, 1, name="flow_process_1")(y)
             y = lrelu(y)
             for i in range(3, 8):
@@ -307,9 +346,27 @@ class MoTIF(nn.Module):
         # recomputes them from the (already-materialized) inputs instead.
         # Inference cost is unchanged (no backward pass).
         SirenR = nn.remat(Siren)
-        flow_imnet = SirenR([64, 64, 256], 2, 3 * G, fused=self.fused_siren,
-                            name="flow_imnet")
-        imnet = SirenR([64, 64, 256], 2, 64, fused=self.fused_siren, name="imnet")
+        # Fused LIIF decode (fused_decode flag): two exact-math reorderings
+        # for TPU bandwidth —
+        #  1. each SIREN's first linear layer is folded through the LIIF
+        #     nearest-upsample (a channel matmul commutes with spatial
+        #     takes), so the wide HR concat inputs (sti/si/synth_in) never
+        #     materialize and the feature matmuls run at LR;
+        #  2. the splat payload is projected through synth_net.net_0's rows
+        #     BEFORE scattering (the splat is linear in its values),
+        #     halving the scattered bytes (130+2 → 64+2 channels).
+        # Off during init so every net_0 is created with its true fan-in;
+        # off by default so the fp64 full-graph parity gates see the
+        # reference's float-op order.
+        use_fused = (self.fused_decode and self.siren and G == 1
+                     and not self.local_ensemble and not self.res_liff
+                     and not self.warp_to_many and not self.is_initializing())
+        flow_imnet = SirenR([64, 64, 256], 2, 3 * G,
+                            fused=self.fused_siren and not use_fused,
+                            skip_first_linear=use_fused, name="flow_imnet")
+        imnet = SirenR([64, 64, 256], 2, 64,
+                       fused=self.fused_siren and not use_fused,
+                       skip_first_linear=use_fused, name="imnet")
         if self.res_liff:
             res_imnet = SirenR([64, 64, 256], 2, 64, fused=self.fused_siren,
                                name="res_imnet")
@@ -319,11 +376,51 @@ class MoTIF(nn.Module):
         else:
             shifts = [(0, 0)]
 
-        t_tokens = jnp.tile(target_t.reshape(B * N, 1, 1, 1), (n, HH, WW, 1))
+        t_tokens = cd(jnp.tile(target_t.reshape(B * N, 1, 1, 1), (n, HH, WW, 1)))
         residual_bn = residual_t.reshape(B * N, H, W, ch)
 
+        if use_fused:
+            pvars = self.variables["params"]
+            iy, rel_y = liif_nearest_axis(H, HH)
+            ix, rel_x = liif_nearest_axis(W, WW)
+
+            def up(img):  # nearest LIIF upsample via separable takes
+                return jnp.take(jnp.take(img, iy, axis=1), ix, axis=2)
+
+            rel = jnp.broadcast_to(
+                jnp.stack(jnp.meshgrid(jnp.asarray(rel_y), jnp.asarray(rel_x),
+                                       indexing="ij"), -1)[None],
+                (1, HH, WW, 2)).astype(cdt or x.dtype)
+
+            def rep_n(a):  # (nB, HH, WW, c) -> (nBN, HH, WW, c)
+                c = a.shape[-1]
+                return (jnp.repeat(a, N, axis=0)
+                        .reshape(n, B, N, HH, WW, c)
+                        .reshape(n * B * N, HH, WW, c))
+
+            # STINF pre-activation: net_0 rows follow the original concat
+            # [flow_feat(ch) | t(1) | rel(2)] (Ours.py:727-730).
+            wq = cd(pvars["flow_imnet"]["net_0"]["linear"]["kernel"])
+            bq = cd(pvars["flow_imnet"]["net_0"]["linear"]["bias"])
+            h0 = rep_n(up(jnp.einsum("bhwc,cd->bhwd", flow_feat, wq[:ch])))
+            h0 = h0 + t_tokens * wq[ch] \
+                + jnp.einsum("bhwc,cd->bhwd", rel, wq[ch + 1:]) + bq
+            sti_out = flow_imnet(h0.reshape(n * B * N, HH * WW, -1))
+
+            # SINF pre-activation: rows [feat(ch) | rel(2)] (Ours.py:731-733).
+            wi = cd(pvars["imnet"]["net_0"]["linear"]["kernel"])
+            bi = cd(pvars["imnet"]["net_0"]["linear"]["bias"])
+            g0 = up(jnp.einsum("bhwc,cd->bhwd", feat, wi[:ch]))
+            g0 = g0 + jnp.einsum("bhwc,cd->bhwd", rel, wi[ch:]) + bi
+            si_out = imnet(g0.reshape(n * B, HH * WW, -1))
+
+            q_feat_o = si_out.reshape(n * B, HH, WW, 64)
+            q_feat_low = up(feat)
+            q_residual = up(residual_bn)
+            q_flow_o = sti_out.reshape(n * B * N, HH, WW, 3 * G)
+
         preds, areas = [], []
-        for vy, vx in shifts:
+        for vy, vx in shifts if not use_fused else []:
             ey = 1e-6 + vy * (1.0 / H)   # vx*rx with rx = 2/H/2 (Ours.py:674)
             ex = 1e-6 + vx * (1.0 / W)
             iy, rel_y = liif_nearest_axis(H, HH, ey)
@@ -335,7 +432,7 @@ class MoTIF(nn.Module):
             rel = jnp.broadcast_to(
                 jnp.stack(jnp.meshgrid(jnp.asarray(rel_y), jnp.asarray(rel_x),
                                        indexing="ij"), -1)[None],
-                (1, HH, WW, 2)).astype(x.dtype)
+                (1, HH, WW, 2)).astype(cdt or x.dtype)
 
             q_feat = up(feat)                                       # (nB,HH,WW,ch)
             q_flow_feat = up(flow_feat)                             # (nB,HH,WW,ch)
@@ -365,27 +462,30 @@ class MoTIF(nn.Module):
             preds.append(pred)
             areas.append(jnp.abs(rel[..., 0] * rel[..., 1]) + 1e-9)
 
-        tot = sum(areas)
-        if self.local_ensemble:  # diagonal-swap weighting (Ours.py:758-764)
-            areas = [areas[3], areas[2], areas[1], areas[0]]
-        acc = [0.0] * len(preds[0])
-        for pred, area in zip(preds, areas):
-            w = (area / tot)[..., None]
-            for i, p in enumerate(pred):
-                acc[i] = acc[i] + p * w.astype(p.dtype)
-        if self.res_liff:
-            q_feat_o, q_feat_low, q_res_liif, q_flow_o, q_res_low = acc
-            q_residual = jnp.concatenate([q_res_liif, q_res_low], -1)
-        else:
-            q_feat_o, q_feat_low, q_residual, q_flow_o = acc
+        if not use_fused:
+            tot = sum(areas)
+            if self.local_ensemble:  # diagonal-swap weighting (Ours.py:758-764)
+                areas = [areas[3], areas[2], areas[1], areas[0]]
+            acc = [0.0] * len(preds[0])
+            for pred, area in zip(preds, areas):
+                w = (area / tot)[..., None]
+                for i, p in enumerate(pred):
+                    acc[i] = acc[i] + p * w.astype(p.dtype)
+            if self.res_liff:
+                q_feat_o, q_feat_low, q_res_liif, q_flow_o, q_res_low = acc
+                q_residual = jnp.concatenate([q_res_liif, q_res_low], -1)
+            else:
+                q_feat_o, q_feat_low, q_residual, q_flow_o = acc
 
         # ---- HR flow / z / features (Ours.py:783-797) ----
-        flow_raw = q_flow_o.reshape(n * B * N * G, HH, WW, 3)
+        # flow values and the splat run in fp32 even under compute_dtype
+        # (sub-pixel positions + scatter accumulation are precision-bearing).
+        flow_raw = cf(q_flow_o).reshape(n * B * N * G, HH, WW, 3)
         feat_hr = jnp.concatenate([
-            jnp.repeat(q_feat_o, N, axis=0)
+            cf(jnp.repeat(q_feat_o, N, axis=0))
                .reshape(n, B, N, HH, WW, 64).reshape(n * B * N * G, HH, WW, 64),
             jax.lax.stop_gradient(flow_raw[..., :2]),
-            jnp.repeat(q_feat_low, N, axis=0)
+            cf(jnp.repeat(q_feat_low, N, axis=0))
                .reshape(n, B, N, HH, WW, ch).reshape(n * B * N * G, HH, WW, ch),
         ], axis=-1)                                                 # (nBNG,HH,WW,130)
 
@@ -428,17 +528,18 @@ class MoTIF(nn.Module):
 
         # ---- synthesis (Ours.py:838-856) ----
         res_rep = q_residual.reshape(B * N, HH, WW, -1)  # already per-time
-        tmap = target_t.reshape(B * N, 1, 1, 1) * jnp.ones((1, HH, WW, 1), x.dtype)
+        tmap = cd(target_t.reshape(B * N, 1, 1, 1)
+                  * jnp.ones((1, HH, WW, 1), x.dtype))
         if not self.warp_to_many:
             synth_in = jnp.concatenate([
-                output.reshape(B * N, HH, WW, -1),
-                extra.reshape(B * N, HH, WW, -1),
+                cd(output).reshape(B * N, HH, WW, -1),
+                cd(extra).reshape(B * N, HH, WW, -1),
                 res_rep, tmap], -1)
         else:
             synth_in = jnp.concatenate([
-                output.reshape(n, B * N, HH, WW, -1).transpose(1, 0, 2, 3, 4)
+                cd(output).reshape(n, B * N, HH, WW, -1).transpose(1, 0, 2, 3, 4)
                       .reshape(B * N, HH, WW, -1),
-                extra.reshape(n, B * N, HH, WW, -1).transpose(1, 0, 2, 3, 4)
+                cd(extra).reshape(n, B * N, HH, WW, -1).transpose(1, 0, 2, 3, 4)
                       .reshape(B * N, HH, WW, -1),
                 res_rep, tmap], -1)
 
@@ -456,7 +557,7 @@ class MoTIF(nn.Module):
             y = lrelu(y)
             out = Conv2d(3, 3, 1, 1, padding_mode="reflect", name="synth_net_10")(y)
 
-        frames = jnp.clip(out.reshape(B, N, HH, WW, 3), 0.0, 1.0).transpose(1, 0, 2, 3, 4)
+        frames = jnp.clip(cf(out).reshape(B, N, HH, WW, 3), 0.0, 1.0).transpose(1, 0, 2, 3, 4)
         flow_norm = flow_hr / 20.0 / (HH / H)
         flow_gt_norm = flow_gt / 20.0 / (HH / H)
         return frames, flow_norm, flow_gt_norm

@@ -58,7 +58,7 @@ class BatchNormEval(nn.Module):
         mean = self.param("running_mean", nn.initializers.zeros, (C,))
         var = self.param("running_var", nn.initializers.ones, (C,))
         inv = jax.lax.rsqrt(var + self.eps) * scale
-        return (x - mean) * inv + bias
+        return ((x - mean) * inv + bias).astype(x.dtype)
 
 
 class GroupNorm(nn.Module):
@@ -72,11 +72,12 @@ class GroupNorm(nn.Module):
         g = self.num_groups
         scale = self.param("kernel", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
-        xg = x.reshape(B, H, W, g, C // g)
+        acc = jnp.promote_types(x.dtype, jnp.float32)
+        xg = x.reshape(B, H, W, g, C // g).astype(acc)
         mean = xg.mean(axis=(1, 2, 4), keepdims=True)
         var = xg.var(axis=(1, 2, 4), keepdims=True)
         xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
-        return xg.reshape(B, H, W, C) * scale + bias
+        return (xg.reshape(B, H, W, C) * scale + bias).astype(x.dtype)
 
 
 def _norm(kind: str, planes: int, name: str):
@@ -321,13 +322,16 @@ class RAFT(nn.Module):
         up_mask = None
         for _ in range(iters):
             coords1 = jax.lax.stop_gradient(coords1)  # raft.py:123 detach
-            corr = corr_lookup(pyramid, coords1, radius)
-            flow = coords1 - coords0
+            # coords/flow positions accumulate in fp32 even under bf16
+            # compute; the update-block inputs follow the image dtype so
+            # the GRU convs stay in the compute dtype.
+            corr = corr_lookup(pyramid, coords1, radius).astype(img1.dtype)
+            flow = (coords1 - coords0).astype(img1.dtype)
             if self.small:
                 net, delta = update(net, inp, corr, flow)
             else:
                 net, up_mask, delta = update(net, inp, corr, flow)
-            coords1 = coords1 + delta
+            coords1 = coords1 + delta.astype(coords1.dtype)
             if return_all:
                 lowres.append(coords1 - coords0)
 

@@ -69,9 +69,29 @@ class Siren(nn.Module):
     first_omega_0: float = 30.0
     hidden_omega_0: float = 30.0
     fused: bool = False
+    # skip_first_linear=True means the caller already applied net_0's linear
+    # (W x + b) — e.g. MoTIF's fused LIIF decode folds it through the
+    # nearest-upsample / the splat — so net_0 reduces to sin(omega0 * x).
+    # net_0's params still exist (created at init, where this flag is
+    # ignored) and the caller reads them from the variable tree; apply-time
+    # gradients flow through that read.
+    skip_first_linear: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.skip_first_linear and not self.is_initializing():
+            x = jnp.sin(self.first_omega_0 * x)
+            for i in range(self.hidden_layers):
+                x = SineLayer(self.hidden_features[i + 1],
+                              omega_0=self.hidden_omega_0, name=f"net_{i + 1}")(x)
+            last = self.hidden_layers + 1
+            if self.outermost_linear:
+                return Linear(self.out_features,
+                              kernel_init=_siren_hidden_init(self.hidden_omega_0),
+                              name=f"net_{last}")(x)
+            return SineLayer(self.out_features, omega_0=self.hidden_omega_0,
+                             name=f"net_{last}")(x)
+
         if self.fused and not self.is_initializing():
             from motif_tpu.ops.siren_kernel import siren_fused
 

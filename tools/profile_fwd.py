@@ -22,14 +22,17 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def timeit(fn, *args, reps=5, inner=3):
-    out = fn(*args)
-    jax.tree.map(lambda a: np.asarray(a), out)  # warm-up + honest sync
+    # Reduce to one on-device scalar: the axon tunnel costs ~32 ms roundtrip
+    # and ~30 MB/s, so fetching stage outputs would swamp kernel time.
+    red = jax.jit(lambda *a: jax.tree.reduce(
+        jnp.add, jax.tree.map(lambda x: jnp.sum(x, dtype=jnp.float32), fn(*a))))
+    float(red(*args))  # compile + warm-up
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(inner):
-            out = fn(*args)
-        jax.tree.map(lambda a: np.asarray(a), out)
+            out = red(*args)
+        float(out)
         ts.append((time.perf_counter() - t0) / inner)
     return float(np.median(ts)) * 1e3  # ms
 
@@ -65,6 +68,11 @@ def main():
         {"params": p}, x, tt, (HH, WW), use_gt=False, iters=4)[0])
     report["full_forward"] = timeit(fwd, params, x, tt)
 
+    model_bf = MoTIF(setting=5, compute_dtype="bfloat16", fused_decode=True)
+    fwd_bf = jax.jit(lambda p, x, tt: model_bf.apply(
+        {"params": p}, x, tt, (HH, WW), use_gt=False, iters=4)[0])
+    report["full_forward_bf16_fused"] = timeit(fwd_bf, params, x, tt)
+
     # --- RAFT: 4 directed HR pairs, iters=4 ---
     src = jnp.asarray(rng.random((n * n * B, HH, WW, 3), dtype=np.float32)) * 255.0
     dst = jnp.asarray(rng.random((n * n * B, HH, WW, 3), dtype=np.float32)) * 255.0
@@ -94,39 +102,16 @@ def main():
     sp = jax.jit(lambda f, fl, zz: splat_fused(f, fl, zz,
                                                z_nonpositive=jnp.asarray(True)))
     report["splat_fused(6,256,448,130)"] = timeit(sp, feat, flw, z)
+    feat66 = feat[..., :66]
+    report["splat_fused(6,256,448,66)"] = timeit(sp, feat66, flw, z)
 
-    # --- microbenches: scatter alternatives at the splat's shape ---
-    Bs, HWs, Cs = 6, HH * WW, 132
-    idx = jnp.asarray(rng.integers(0, HWs, (Bs, 4 * HWs)), jnp.int32)
-    vals = jnp.asarray(rng.random((Bs, 4 * HWs, Cs), dtype=np.float32))
-
-    def scat_one(idx, vals):
-        out = jnp.zeros((Bs, HWs, Cs), jnp.float32)
-        return out.at[jnp.arange(Bs)[:, None], idx].add(vals)
-
-    report["micro_scatter_4HWrows"] = timeit(jax.jit(scat_one), idx, vals)
-
-    # sort-based segment sum: sort keys, reorder rows, cumsum, searchsorted
-    def sort_based(idx, vals):
-        order = jnp.argsort(idx, axis=1)
-        skeys = jnp.take_along_axis(idx, order, axis=1)
-        svals = jnp.take_along_axis(vals, order[..., None], axis=1)
-        cs = jnp.cumsum(svals, axis=1)
-        cs = jnp.concatenate([jnp.zeros((Bs, 1, Cs), cs.dtype), cs], axis=1)
-        targets = jnp.arange(HWs, dtype=jnp.int32)
-        lo = jax.vmap(lambda k: jnp.searchsorted(k, targets, side="left"))(skeys)
-        hi = jax.vmap(lambda k: jnp.searchsorted(k, targets, side="right"))(skeys)
-        take = jax.vmap(lambda c, i: c[i])
-        return take(cs, hi) - take(cs, lo)
-
-    report["micro_sortsegsum_4HWrows"] = timeit(jax.jit(sort_based), idx, vals)
-
-    # components of the sort-based path
-    report["micro_argsort_keys"] = timeit(jax.jit(lambda i: jnp.argsort(i, axis=1)), idx)
-    order = jnp.argsort(idx, axis=1)
-    report["micro_gather_rows"] = timeit(
-        jax.jit(lambda v, o: jnp.take_along_axis(v, o[..., None], axis=1)), vals, order)
-    report["micro_cumsum_rows"] = timeit(jax.jit(lambda v: jnp.cumsum(v, axis=1)), vals)
+    # --- RAFT in bf16 at HR and at LR (the restructure candidates) ---
+    raft_bf = jax.jit(lambda p, a, b: RAFT().apply(
+        {"params": p}, a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), iters=4))
+    report["raft_4pairs_hr_bf16"] = timeit(raft_bf, params["flow_predictor"], src, dst)
+    src_lr = src[:, :H, :W]
+    dst_lr = dst[:, :H, :W]
+    report["raft_4pairs_lr_bf16"] = timeit(raft_bf, params["flow_predictor"], src_lr, dst_lr)
 
     print("done")
 
