@@ -34,22 +34,29 @@ def dcn_v2(
     padding: int = 1,
     dilation: int = 1,
     deformable_groups: int = 1,
-    backend: str = "onehot",
+    backend: str = "auto",
 ) -> jax.Array:
     """Modulated deformable conv — see module docstring for layouts.
 
-    backend='onehot' (default): separable bilinear sampling expressed as two
-    one-hot contractions (a matmul over W then a weighted reduce over H) —
-    no gathers, which XLA TPU executes ~5-10x faster than the gather
-    formulation at PCD sizes. backend='gather' keeps the direct
-    take_along_axis transcription (used as the test oracle's counterpart).
-    Both are numerically identical to the CUDA kernel semantics.
+    backend='pallas': the sampling stage runs as a Pallas TPU kernel
+    (ops/dcn_pallas.py) that keeps the one-hot contraction intermediates in
+    VMEM (the XLA einsum materializes ~1 GB per PCD-size call in HBM);
+    backward is the shared analytic einsum VJP. backend='onehot': separable
+    bilinear sampling as two one-hot XLA contractions — no gathers, ~5-10x
+    faster than the gather formulation at PCD sizes; works on any backend.
+    backend='gather' keeps the direct take_along_axis transcription (the
+    test oracle's counterpart). 'auto' = pallas on TPU, onehot elsewhere.
+    All are numerically identical to the CUDA kernel semantics.
     """
+    if backend == "auto":
+        platform = jax.devices()[0].platform
+        backend = "pallas" if platform in ("tpu", "axon") else "onehot"
     if backend == "gather":
         return _dcn_v2_gather(x, offset, mask, weight, bias, kernel_size,
                               stride, padding, dilation, deformable_groups)
     return _dcn_v2_onehot(x, offset, mask, weight, bias, kernel_size,
-                          stride, padding, dilation, deformable_groups)
+                          stride, padding, dilation, deformable_groups,
+                          sampler="pallas" if backend == "pallas" else "einsum")
 
 
 def _sample_positions(offset, B, Ho, Wo, G, K, stride, padding, dilation):
@@ -138,8 +145,24 @@ def _sample_onehot_bwd(res, g_val):
 _sample_onehot.defvjp(_sample_onehot_fwd, _sample_onehot_bwd)
 
 
+@jax.custom_vjp
+def _sample_via_pallas(x: jax.Array, py: jax.Array, px: jax.Array) -> jax.Array:
+    """Same contract as _sample_onehot; forward = the Pallas VMEM kernel,
+    backward = the shared analytic einsum VJP."""
+    from motif_tpu.ops.dcn_pallas import sample_pallas
+
+    return sample_pallas(x, py, px)
+
+
+def _sample_via_pallas_fwd(x, py, px):
+    return _sample_via_pallas(x, py, px), (x, py, px)
+
+
+_sample_via_pallas.defvjp(_sample_via_pallas_fwd, _sample_onehot_bwd)
+
+
 def _dcn_v2_onehot(x, offset, mask, weight, bias, K, stride, padding,
-                   dilation, G):
+                   dilation, G, sampler="einsum"):
     B, H, W, Cin = x.shape
     cg = Cin // G
     Ho = (H + 2 * padding - (dilation * (K - 1) + 1)) // stride + 1
@@ -150,7 +173,8 @@ def _dcn_v2_onehot(x, offset, mask, weight, bias, K, stride, padding,
     py = py.transpose(0, 3, 1, 2, 4).reshape(B, G, Q)
     px = px.transpose(0, 3, 1, 2, 4).reshape(B, G, Q)
 
-    val = _sample_onehot(x, py, px)                    # (B, Q, G, cg)
+    sample = _sample_via_pallas if sampler == "pallas" else _sample_onehot
+    val = sample(x, py, px)                            # (B, Q, G, cg)
     val = val.reshape(B, Ho, Wo, K * K, G, cg).transpose(0, 1, 2, 4, 3, 5)
     val = val * mask.reshape(B, Ho, Wo, G, K * K, 1).astype(val.dtype)
     w = weight.reshape(K * K, G, cg, weight.shape[-1])

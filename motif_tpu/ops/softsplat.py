@@ -120,8 +120,94 @@ def splat_count(flow: jax.Array) -> jax.Array:
     return jax.lax.stop_gradient(out.reshape(B, H, W, 1))
 
 
+def _splat_fused_base(img, flow, z, ez):
+    """Base-cell scatter backend: ONE scatter row per source pixel.
+
+    XLA TPU scatter throughput is row-rate-bound (~4e7 rows/s measured on
+    v5e, BASELINE.md), so the 4-corner decomposition pays 4x. Instead each
+    source pixel scatters a single row holding all four corner payloads
+    into its base cell (floor target + 1) of a (H+2, W+2) accumulator:
+
+        A[y0+1, x0+1, slot_ab] += w_ab * [img*e^z | e^z | 1]
+
+    and the true output is a dense shift-combine (4 slice adds):
+
+        out[y, x] = A[y+1, x+1, s00] + A[y+1, x, s01]
+                  + A[y, x+1, s10] + A[y, x, s11]
+
+    Out-of-bounds corners need no masking: a corner beyond the image edge
+    lands in a base cell the combine never reads from that slot, and wholly
+    out-of-range sources get base indices outside the padded buffer, which
+    scatter mode='drop' discards — exactly the CUDA kernel's bounds check
+    (softsplat_cp.py:30-38). Per-corner count validity is likewise implied.
+
+    ~4x the live memory of the scan backend (the slotted accumulator), so
+    training keeps 'scan'; this is the inference/serving backend.
+    """
+    B, H, W, C = img.shape
+    gx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    fx = gx + flow[..., 0]
+    fy = gy + flow[..., 1]
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx1 = (fx - x0).astype(img.dtype)[..., None]
+    wy1 = (fy - y0).astype(img.dtype)[..., None]
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    ezf = ez.astype(img.dtype)
+    u = jnp.concatenate([img * ezf, ezf], -1)                      # (B,H,W,C+1)
+    one = jax.lax.stop_gradient(jnp.ones_like(ezf))                # count: +1/corner
+    payload = jnp.concatenate([
+        u * (wy0 * wx0), one, u * (wy0 * wx1), one,
+        u * (wy1 * wx0), one, u * (wy1 * wx1), one], -1)           # (B,H,W,4(C+2))
+
+    # The accumulator is flattened to one spatial axis, so per-axis bounds
+    # must be checked explicitly (a row-only overflow would alias into the
+    # next row); fully out-of-range sources are routed past the end and
+    # dropped by the scatter.
+    Wp = W + 2
+    iy = y0.astype(jnp.int32) + 1
+    ix = x0.astype(jnp.int32) + 1
+    valid = (iy >= 0) & (iy <= H + 1) & (ix >= 0) & (ix <= W + 1)
+    base = jnp.where(valid, iy * Wp + ix, (H + 2) * Wp)
+    acc = jnp.zeros((B, (H + 2) * Wp, 4 * (C + 2)), img.dtype)
+    acc = acc.at[jnp.arange(B)[:, None], base.reshape(B, -1)].add(
+        payload.reshape(B, H * W, -1), mode="drop")
+    acc = acc.reshape(B, H + 2, Wp, 4, C + 2)
+
+    comb = (acc[:, 1:H + 1, 1:W + 1, 0] + acc[:, 1:H + 1, 0:W, 1]
+            + acc[:, 0:H, 1:W + 1, 2] + acc[:, 0:H, 0:W, 3])
+    out = comb[..., :C]
+    norm = comb[..., C:C + 1]
+    count = jax.lax.stop_gradient(comb[..., C + 1:])
+    return out, norm, count
+
+
+def _splat_max_scan(ez, flow, dtype):
+    """Ones-initialised bilinear scatter-max of exp(z) (softsplat_max_cp.py)."""
+    B, H, W, _ = flow.shape
+    corners = _corner_data(flow, H, W)
+    bidx = jnp.arange(B)[:, None]
+    idx4 = jnp.stack([c[0].reshape(B, -1) for c in corners], 0)
+    w4 = jnp.stack([c[1].reshape(B, -1) for c in corners], 0).astype(dtype)
+    v4 = jnp.stack([c[2].reshape(B, -1) for c in corners], 0)
+    ezm = ez.reshape(B, H * W).astype(dtype)
+
+    def mbody(zm, args):
+        ci, wi, vi = args
+        mx = jnp.where(vi, ezm * wi, -jnp.inf)[..., None]
+        return zm.at[bidx, ci].max(mx), None
+
+    zm = jnp.ones((B, H * W, 1), dtype=dtype)
+    zm, _ = jax.lax.scan(mbody, zm, (idx4, w4, v4))
+    return zm.reshape(B, H, W, 1)
+
+
 def splat_fused(img: jax.Array, flow: jax.Array, z: jax.Array,
-                z_nonpositive: jax.Array | None = None):
+                z_nonpositive: jax.Array | None = None,
+                method: str = "scan"):
     """Fused softmax-splat + max-splat + count-splat sharing one corner
     computation (the reference launches three CuPy kernels; Ours.py:799-806).
 
@@ -139,9 +225,29 @@ def splat_fused(img: jax.Array, flow: jax.Array, z: jax.Array,
     (a traced scalar bool, e.g. alpha <= 0 in MoTIF where z = relu(x)*alpha)
     to skip the max scatter at runtime via lax.cond — exact, saves ~25%
     of the splat cost in practice.
+
+    method: 'scan' (memory-lean, 4 sequential corner scatters — the
+    training default) or 'base' (one scatter row per source pixel + dense
+    shift-combine, ~4x fewer scatter rows but ~4x live memory — the
+    inference backend; see _splat_fused_base).
     """
     B, H, W, C = img.shape
     ez = jnp.exp(z)
+
+    if method == "base":
+        out, norm, count = _splat_fused_base(img, flow, z, ez)
+
+        def ones_zmax(_):
+            return jnp.ones((B, H, W, 1), img.dtype)
+
+        if z_nonpositive is None:
+            z_max = _splat_max_scan(ez, flow, img.dtype)
+        else:
+            z_max = jax.lax.cond(
+                z_nonpositive, ones_zmax,
+                lambda _: _splat_max_scan(ez, flow, img.dtype), operand=None)
+        return out, norm, jax.lax.stop_gradient(z_max), count
+
     corners = _corner_data(flow, H, W)
     bidx = jnp.arange(B)[:, None]
 

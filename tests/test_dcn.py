@@ -121,3 +121,22 @@ def test_dcn_onehot_gradients_match_gather_backend(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_pallas_sampler_matches_onehot(rng):
+    """The Pallas VMEM sampling kernel (interpret mode on CPU) must equal
+    the einsum one-hot sampler bit-for-bit at HIGHEST matmul precision."""
+    import jax
+
+    from motif_tpu.ops.dcn import _sample_onehot
+    from motif_tpu.ops.dcn_pallas import sample_pallas
+
+    B, H, W, G, cg, Q = 2, 16, 28, 4, 8, 700
+    x = jnp.asarray(rng.random((B, H, W, G * cg), dtype=np.float32))
+    py = jnp.asarray(rng.uniform(-3, H + 2, (B, G, Q)).astype(np.float32))
+    px = jnp.asarray(rng.uniform(-3, W + 2, (B, G, Q)).astype(np.float32))
+    with jax.default_matmul_precision("highest"):
+        ref = _sample_onehot(x, py, px)
+        got = sample_pallas(x, py, px, interpret=True, exact=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

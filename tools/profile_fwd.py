@@ -21,7 +21,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def timeit(fn, *args, reps=5, inner=3):
+def timeit(fn, *args, reps=3, inner=20):
     # Reduce to one on-device scalar: the axon tunnel costs ~32 ms roundtrip
     # and ~30 MB/s, so fetching stage outputs would swamp kernel time.
     red = jax.jit(lambda *a: jax.tree.reduce(
