@@ -7,19 +7,22 @@ VideoSR_base_model.py:188-193), RAFT iters=4 (test-time setting), batch 1,
 fp32. Reported value is HR frames produced per second on one chip,
 steady-state (post-compile), median of repeated timed windows.
 
-FLOPs are taken from XLA's own cost model of the compiled program
-(`compiled.cost_analysis()['flops']`) — not an analytic guess — and MFU is
-reported against the v5e bf16 MXU peak (197 TFLOP/s; the fp32 path's
-achievable ceiling is ~1/4 of that, so fp32 MFU > 25% would be roofline).
+Workload FLOPs: pinned to the XLA cost model's count of the fp32 graph
+compiled with the DCN 'gather' backend (tools/count_ref_flops.py), whose
+FLOPs match the reference CUDA im2col+GEMM math 1:1. The live graph's own
+cost_analysis() is no longer usable for this: from round 3 the DCN
+sampling runs inside a Pallas custom call the cost model cannot see (its
+count drops ~4.4x), while the r1/r2 one-hot-einsum counts over-counted vs
+the reference math. The live count is still reported as xla_visible_flops.
 
 vs_baseline derivation (BASELINE.md records no reference numbers; the
 reference repo publishes none): the PyTorch reference executes the same
 mathematical graph, so we estimate its A100 frames/s as
-    est = N / (flops / (A100_FP32_PEAK * A100_ASSUMED_UTIL))
+    est = N / (ref_flops / (A100_FP32_PEAK * A100_ASSUMED_UTIL))
 with A100_FP32_PEAK = 19.5 TFLOP/s and an optimistic 25% sustained
 utilization for the eager CuPy/torch pipeline (in practice the reference's
 Python-loop LIIF/splat sections push utilization below this, so the
-resulting vs_baseline is a conservative lower bound).
+resulting vs_baseline is a conservative ESTIMATE, labeled as such).
 """
 
 import json
@@ -30,6 +33,12 @@ import numpy as np
 A100_FP32_PEAK = 19.5e12
 A100_ASSUMED_UTIL = 0.25
 V5E_BF16_PEAK = 197e12
+# Reference-equivalent workload FLOPs for one bench forward, counted by
+# tools/count_ref_flops.py (fp32 graph, DCN 'gather' backend == the CUDA
+# im2col+GEMM math). NB the r1/r2 bench used the one-hot-einsum graph's
+# count (2.23e12) which over-counted the reference workload ~4.4x and so
+# overstated vs_baseline; this is the honest number.
+REF_WORKLOAD_FLOPS = 501386149888.0
 
 
 def _measure(model, N=3):
@@ -47,8 +56,14 @@ def _measure(model, N=3):
     tt0 = jnp.zeros((1, N), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x0, tt0, (64, 64), iters=1)["params"]
 
-    fwd = jax.jit(lambda p, x, tt: model.apply(
-        {"params": p}, x, tt, (HH, WW), use_gt=False, iters=4)[0])
+    # Synchronization: block_until_ready is a no-op through the remote-TPU
+    # relay, so each timed window ends by fetching ONE on-device f32 scalar
+    # (sum of the frames). Fetching the full frames instead would add the
+    # relay's ~30 MB/s transfer of 4 MB (~130 ms) to every window — tunnel
+    # bandwidth, not chip time; a local host fetches over PCIe at GB/s.
+    fwd = jax.jit(lambda p, x, tt: jnp.sum(model.apply(
+        {"params": p}, x, tt, (HH, WW), use_gt=False, iters=4)[0],
+        dtype=jnp.float32))
 
     compiled = fwd.lower(params, x, tt).compile()
     cost = compiled.cost_analysis()
@@ -56,17 +71,15 @@ def _measure(model, N=3):
         cost = cost[0]
     flops = float((cost or {}).get("flops", 0.0))
 
-    np.asarray(compiled(params, x, tt))  # warm up; NB block_until_ready is a
-    # no-op through the remote-TPU relay — a host fetch is the only honest
-    # synchronization point, so every timed window ends with one.
+    float(compiled(params, x, tt))  # warm up
 
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
-            frames = compiled(params, x, tt)
-        np.asarray(frames)
+            out = compiled(params, x, tt)
+        float(out)
         times.append((time.perf_counter() - t0) / reps)
     sec = float(np.median(times))
     return (N * B) / sec, flops, sec
@@ -86,27 +99,25 @@ def main():
     # configuration — tests/test_bf16.py bounds its deviation from fp32;
     # BASELINE.md records the Vid4 delta). fp32 is reported alongside.
     fps16, flops16, sec16 = _measure(
-        MoTIF(setting=5, compute_dtype="bfloat16", fused_decode=True))
+        MoTIF(setting=5, compute_dtype="bfloat16", fused_decode=True,
+              splat_method="base"))
     fps32, flops32, sec32 = _measure(MoTIF(setting=5))
 
-    # FLOP count for MFU/estimates: use the fp32 graph's count (the bf16
-    # graph computes the same math; XLA's cost model is dtype-independent
-    # here but the fp32 count is the apples-to-apples reference workload).
-    flops = flops32 or flops16
-    mfu = (flops / sec16) / V5E_BF16_PEAK if flops else None
-    ref_est_fps = 3.0 / (flops / (A100_FP32_PEAK * A100_ASSUMED_UTIL)) \
-        if flops else None
+    flops = REF_WORKLOAD_FLOPS
+    mfu = (flops / sec16) / V5E_BF16_PEAK
+    ref_est_fps = 3.0 / (flops / (A100_FP32_PEAK * A100_ASSUMED_UTIL))
 
     out = {
-        "metric": "HR output frames/sec/chip (Vimeo 4x, LQ 64x112 -> HR 256x448, 3 times/fwd, bf16 trunk + fp32 flow/splat, fused LIIF decode)",
+        "metric": "HR output frames/sec/chip (Vimeo 4x, LQ 64x112 -> HR 256x448, 3 times/fwd, bf16 trunk + fp32 flow/splat, fused LIIF+synth decode, base splat)",
         "value": round(fps16, 3),
         "unit": "frames/s",
         "fp32_fps": round(fps32, 3),
-        "flops_per_fwd": flops,
-        "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
-        "a100_ref_est_fps": round(ref_est_fps, 3) if ref_est_fps else None,
+        "ref_workload_flops_per_fwd": flops,
+        "xla_visible_flops_per_fwd": flops32 or flops16,
+        "mfu_vs_bf16_peak": round(mfu, 4),
+        "a100_ref_est_fps": round(ref_est_fps, 3),
     }
-    out["vs_baseline"] = round(fps16 / ref_est_fps, 3) if ref_est_fps else None
+    out["vs_baseline"] = round(fps16 / ref_est_fps, 3)
     print(json.dumps(out))
 
 

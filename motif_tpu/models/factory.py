@@ -33,6 +33,13 @@ def define_g(opt: dict):
     # field): `compute_dtype: bfloat16` in network_G runs the conv trunk /
     # SIRENs in bf16 with fp32 flow+splat (models/motif.py compute_dtype).
     cdt = opt.get("compute_dtype") or None
+    # serving-path toggles (framework extensions): fused_decode folds the
+    # SIREN first layers through the LIIF upsample + splat (exact math);
+    # splat_method picks the scatter backend ('scan' train / 'base' serve).
+    fused = bool(opt.get("fused_decode") or False)
+    spm = opt.get("splat_method") or "scan"
+    rres = float(opt.get("raft_resolution") or 1.0)
+    sdt = opt.get("splat_dtype") or None
     if which == "Ours_7":
         # first-two-anchor, linear-motion fork with hardcoded flags
         # (Ours_7.py:440-448) — equivalent to setting=3
@@ -43,7 +50,8 @@ def define_g(opt: dict):
         # forks differ only in training wiring (see module docstring).
         n_anchors = 4 if which in ("Ours_44", "Ours_4") else 2
         return MoTIF(setting=setting, channel=nf, n_anchors=n_anchors,
-                     compute_dtype=cdt)
+                     compute_dtype=cdt, fused_decode=fused, splat_method=spm,
+                     raft_resolution=rres, splat_dtype=sdt)
     if which == "LIIF":
         return VideoINR(nf=nf, front_rbs=front, back_rbs=back, groups=groups)
     if which in ("ZSM", "Zooming"):

@@ -112,6 +112,19 @@ class MoTIF(nn.Module):
     # pixel + a dense shift-combine (~20% faster on v5e, ~4x live memory)
     # — the inference/serving setting.
     splat_method: str = "scan"
+    # Narrower scatter accumulation dtype for the 'base' backend (e.g.
+    # "float16" halves the scattered bytes; see splat_fused scatter_dtype).
+    # None keeps the fp32 accumulation — the parity/training default.
+    splat_dtype: str | None = None
+    # RAFT input resolution factor. The reference upsamples the LR frames to
+    # full HR, runs RAFT, then downsamples the flow back to LR
+    # (Ours.py:540-554) — all the information content is LR, so the HR pass
+    # mostly buys RAFT a finer internal grid (HR/8). 0.5 runs RAFT at HR/2
+    # (internal grid HR/16 = LR/4): ~4x cheaper flow at a small accuracy
+    # cost that must be PSNR-gated per deployment; 1.0 is reference-faithful
+    # and the parity default. Only affects the live-RAFT path (precomputed
+    # flows bypass it).
+    raft_resolution: float = 1.0
     # Mixed-precision compute: None keeps every stage in the input dtype
     # (fp32/fp64 — the parity configuration). "bfloat16" runs the conv
     # trunk, RAFT, LIIF gathers and SIRENs in bf16 (half the HBM traffic,
@@ -217,12 +230,23 @@ class MoTIF(nn.Module):
             # Running only the n(n-1) cross pairs and filling exact zeros is
             # mathematically identical and drops 2/4 (n=2) or 4/16 (n=4) of
             # the flow-net cost.
-            hr_frames = [interpolate_bilinear(f, (HH, WW)) for f in frames]
+            if self.raft_resolution != 1.0:
+                # run RAFT on a reduced grid (multiple-of-8 for the 8x
+                # feature stride); rescale flow per-component back to LR.
+                RH = max(64, int(round(HH * self.raft_resolution / 8.0)) * 8)
+                RW = max(64, int(round(WW * self.raft_resolution / 8.0)) * 8)
+            else:
+                RH, RW = HH, WW
+            hr_frames = [interpolate_bilinear(f, (RH, RW)) for f in frames]
             pairs = [(i, j) for i in range(n) for j in range(n) if i != j]
             src = jnp.concatenate([hr_frames[i] for i, _ in pairs], 0)
             dst = jnp.concatenate([hr_frames[j] for _, j in pairs], 0)
             fl = cf(raft(cd(src * 255.0), cd(dst * 255.0), iters=iters))
-            fl = interpolate_bilinear(fl, (H, W)) * (H / HH)
+            if (RH, RW) == (HH, WW):
+                fl = interpolate_bilinear(fl, (H, W)) * (H / HH)
+            else:
+                fl = interpolate_bilinear(fl, (H, W)) * jnp.asarray(
+                    [W / RW, H / RH], fl.dtype)
             fl = fl.reshape(len(pairs), B, H, W, 2)
             flow = jnp.zeros((n2, B, H, W, 2), fl.dtype)
             for k, (i, j) in enumerate(pairs):
@@ -420,8 +444,8 @@ class MoTIF(nn.Module):
             si_out = imnet(g0.reshape(n * B, HH * WW, -1))
 
             q_feat_o = si_out.reshape(n * B, HH, WW, 64)
-            q_feat_low = up(feat)
-            q_residual = up(residual_bn)
+            # q_feat_low / q_residual are not materialized at HR here: the
+            # synth-fold below projects feat / residual_bn at LR instead.
             q_flow_o = sti_out.reshape(n * B * N, HH, WW, 3 * G)
 
         preds, areas = [], []
@@ -486,13 +510,38 @@ class MoTIF(nn.Module):
         # flow values and the splat run in fp32 even under compute_dtype
         # (sub-pixel positions + scatter accumulation are precision-bearing).
         flow_raw = cf(q_flow_o).reshape(n * B * N * G, HH, WW, 3)
-        feat_hr = jnp.concatenate([
-            cf(jnp.repeat(q_feat_o, N, axis=0))
-               .reshape(n, B, N, HH, WW, 64).reshape(n * B * N * G, HH, WW, 64),
-            jax.lax.stop_gradient(flow_raw[..., :2]),
-            cf(jnp.repeat(q_feat_low, N, axis=0))
-               .reshape(n, B, N, HH, WW, ch).reshape(n * B * N * G, HH, WW, ch),
-        ], axis=-1)                                                 # (nBNG,HH,WW,130)
+        if use_fused:
+            # Fold synth_net.net_0 through the splat (fused_decode point 2):
+            # scatter-add is linear in its payload, so projecting the 130-ch
+            # [q_feat_o | flow | q_feat_low] stack through net_0's matching
+            # rows BEFORE splatting is exact math — the scattered rows
+            # shrink 130+2 → 64+2 and the HR feature/residual stacks never
+            # materialize (q_feat_low / residual projections run at LR and
+            # ride the nearest-upsample takes; extra/residual/t rows are
+            # added to the merged splat output below, before the division-
+            # free part of net_0's sine).
+            ws_raw = pvars["synth_net"]["net_0"]["linear"]["kernel"]  # (198,64)
+            bs = cd(pvars["synth_net"]["net_0"]["linear"]["bias"])
+            ws = cd(ws_raw)
+            w_a, w_b = ws[:64], ws[66:66 + ch]
+            off = 66 + ch
+            k_e = 3 if self.decoder_Z else 2
+            w_e = ws[off:off + k_e]
+            w_r = ws[off + k_e:off + k_e + ch]
+            w_t = ws[off + k_e + ch]
+            pay = rep_n(jnp.einsum("bhwc,cd->bhwd", q_feat_o, w_a)
+                        + up(jnp.einsum("bhwc,cd->bhwd", feat, w_b)))
+            feat_hr = cf(pay) + jnp.einsum(
+                "bhwc,cd->bhwd", jax.lax.stop_gradient(flow_raw[..., :2]),
+                ws_raw[64:66].astype(flow_raw.dtype))   # (nBN,HH,WW,64)
+        else:
+            feat_hr = jnp.concatenate([
+                cf(jnp.repeat(q_feat_o, N, axis=0))
+                   .reshape(n, B, N, HH, WW, 64).reshape(n * B * N * G, HH, WW, 64),
+                jax.lax.stop_gradient(flow_raw[..., :2]),
+                cf(jnp.repeat(q_feat_low, N, axis=0))
+                   .reshape(n, B, N, HH, WW, ch).reshape(n * B * N * G, HH, WW, ch),
+            ], axis=-1)                                             # (nBNG,HH,WW,130)
 
         flow_hr = flow_raw[..., :2] * 20.0 * (HH / H)
         z = jax.nn.relu(flow_raw[..., 2:3]) * alpha
@@ -510,7 +559,9 @@ class MoTIF(nn.Module):
         z_all_nonpos = (alpha[0] <= 0.0) if self.predict_Z else jnp.asarray(True)
         output, warped_z, z_max, count = splat_fused(
             feat_hr, splat_flow, z, z_nonpositive=z_all_nonpos,
-            method=self.splat_method)
+            method=self.splat_method,
+            scatter_dtype=getattr(jnp, self.splat_dtype) if self.splat_dtype
+            else None)
 
         # ---- merge directions + extras (Ours.py:810-836) ----
         Cf = output.shape[-1]
@@ -533,6 +584,24 @@ class MoTIF(nn.Module):
             extra = jnp.concatenate([count / 16.0, warped_z_masked / count_safe], -1)
 
         # ---- synthesis (Ours.py:838-856) ----
+        if use_fused:
+            # net_0 pre-activation: merged splat output (already projected
+            # through w_a/w_f/w_b) + the extra/residual/time rows + bias.
+            h = (cd(output).reshape(B * N, HH, WW, 64)
+                 + jnp.einsum("bhwc,cd->bhwd",
+                              cd(extra).reshape(B * N, HH, WW, -1), w_e)
+                 + up(jnp.einsum("bhwc,cd->bhwd", cd(residual_bn), w_r))
+                 + cd(target_t).reshape(B * N, 1, 1, 1) * w_t[None, None, None]
+                 + bs)
+            synth = nn.remat(Siren)([64, 64, 64, 256], 3, 3,
+                                    skip_first_linear=True, name="synth_net")
+            out = synth(h.reshape(B * N, HH * WW, -1)).reshape(B * N, HH, WW, 3)
+            frames = jnp.clip(cf(out).reshape(B, N, HH, WW, 3),
+                              0.0, 1.0).transpose(1, 0, 2, 3, 4)
+            flow_norm = flow_hr / 20.0 / (HH / H)
+            flow_gt_norm = flow_gt / 20.0 / (HH / H)
+            return frames, flow_norm, flow_gt_norm
+
         res_rep = q_residual.reshape(B * N, HH, WW, -1)  # already per-time
         tmap = cd(target_t.reshape(B * N, 1, 1, 1)
                   * jnp.ones((1, HH, WW, 1), x.dtype))
@@ -667,7 +736,9 @@ class MoTIF(nn.Module):
         z_all_nonpos = (alpha[0] <= 0.0) if self.predict_Z else jnp.asarray(True)
         output, warped_z, z_max, count = splat_fused(
             feat_hr, splat_flow, z, z_nonpositive=z_all_nonpos,
-            method=self.splat_method)
+            method=self.splat_method,
+            scatter_dtype=getattr(jnp, self.splat_dtype) if self.splat_dtype
+            else None)
 
         Cf = output.shape[-1]
         output = output.reshape(2, B * N, HH, WW, Cf).sum(0)

@@ -22,6 +22,18 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Global backend override (None = per-call/platform choice). Used by
+# tools/count_ref_flops.py: the 'gather' formulation's FLOPs match the
+# reference CUDA im2col+GEMM math 1:1 (gathers are 0-FLOP in XLA's cost
+# model, the im2col einsum IS the reference GEMM), giving an honest
+# reference-workload count for bench.py's A100 estimate.
+_BACKEND_OVERRIDE: str | None = None
+
+
+def set_backend(backend: str | None):
+    global _BACKEND_OVERRIDE
+    _BACKEND_OVERRIDE = backend
+
 
 def dcn_v2(
     x: jax.Array,
@@ -45,12 +57,16 @@ def dcn_v2(
     bilinear sampling as two one-hot XLA contractions — no gathers, ~5-10x
     faster than the gather formulation at PCD sizes; works on any backend.
     backend='gather' keeps the direct take_along_axis transcription (the
-    test oracle's counterpart). 'auto' = pallas on TPU, onehot elsewhere.
+    test oracle's counterpart). 'auto' = onehot (see below).
     All are numerically identical to the CUDA kernel semantics.
     """
+    backend = _BACKEND_OVERRIDE or backend
     if backend == "auto":
-        platform = jax.devices()[0].platform
-        backend = "pallas" if platform in ("tpu", "axon") else "onehot"
+        # onehot everywhere: the Pallas sampler wins its microbench but
+        # regresses the end-to-end encoder on v5e (104.6 ms vs 82 ms —
+        # its custom call fences XLA's fusion across the sampling stage),
+        # so it stays an explicit opt-in.
+        backend = "onehot"
     if backend == "gather":
         return _dcn_v2_gather(x, offset, mask, weight, bias, kernel_size,
                               stride, padding, dilation, deformable_groups)
@@ -99,14 +115,21 @@ def _sample_onehot(x: jax.Array, py: jax.Array, px: jax.Array) -> jax.Array:
     B, H, W, Cin = x.shape
     G, Q = py.shape[1], py.shape[2]
     cg = Cin // G
-    vx = _hat(px, W)                                   # (B, G, Q, W)
-    vy = _hat(py, H)                                   # (B, G, Q, H)
+    # Hats are built in fp32 (sub-pixel positions are precision-bearing)
+    # and quantized to the input dtype only at the MXU inputs, with fp32
+    # accumulation — under bf16 this is what keeps the (B,G,Q,H*cg)
+    # intermediate bf16 instead of silently promoting the whole sampling
+    # stage (and its ~GB-scale t1) back to fp32.
+    acc_t = jnp.promote_types(x.dtype, jnp.float32)    # fp32 acc, fp64 stays fp64
+    vx = _hat(px, W).astype(x.dtype)                   # (B, G, Q, W)
+    vy = _hat(py, H).astype(x.dtype)                   # (B, G, Q, H)
     # x → (B, G, W, H*cg)
     xp = x.reshape(B, H, W, G, cg).transpose(0, 3, 2, 1, 4).reshape(B, G, W, H * cg)
     t1 = jnp.einsum("bgqw,bgwk->bgqk", vx, xp)         # batched MXU matmul
     t1 = t1.reshape(B, G, Q, H, cg)
-    val = jnp.einsum("bgqhc,bgqh->bgqc", t1, vy)
-    return val.transpose(0, 2, 1, 3)                   # (B, Q, G, cg)
+    val = jnp.einsum("bgqhc,bgqh->bgqc", t1, vy,
+                     preferred_element_type=acc_t)
+    return val.transpose(0, 2, 1, 3).astype(x.dtype)   # (B, Q, G, cg)
 
 
 def _sample_onehot_fwd(x, py, px):
@@ -118,28 +141,32 @@ def _sample_onehot_bwd(res, g_val):
     B, H, W, Cin = x.shape
     G, Q = py.shape[1], py.shape[2]
     cg = Cin // G
-    gv = g_val.transpose(0, 2, 1, 3)                   # (B, G, Q, cg)
-    vx = _hat(px, W)                                   # (B, G, Q, W)
-    vy = _hat(py, H)                                   # (B, G, Q, H)
+    acc_t = jnp.promote_types(x.dtype, jnp.float32)
+    gv = g_val.transpose(0, 2, 1, 3).astype(x.dtype)   # (B, G, Q, cg)
+    vx = _hat(px, W).astype(x.dtype)                   # (B, G, Q, W)
+    vy = _hat(py, H).astype(x.dtype)                   # (B, G, Q, H)
     xg = x.reshape(B, H, W, G, cg)
 
     # t2[b,g,q,x,c] = sum_y vy X     (for dvx)
     xh = xg.transpose(0, 3, 1, 2, 4).reshape(B, G, H, W * cg)
     t2 = jnp.einsum("bgqy,bgyk->bgqk", vy, xh).reshape(B, G, Q, W, cg)
-    dvx = jnp.einsum("bgqxc,bgqc->bgqx", t2, gv)
-    dpx = jnp.sum(dvx * _hat_grad(px, W), axis=-1)     # (B, G, Q)
+    dvx = jnp.einsum("bgqxc,bgqc->bgqx", t2, gv,
+                     preferred_element_type=acc_t)
+    dpx = jnp.sum(dvx * _hat_grad(px, W), axis=-1)     # (B, G, Q) fp32
 
     # t1[b,g,q,h,c] = sum_x vx X     (for dvy)
     xp = xg.transpose(0, 3, 2, 1, 4).reshape(B, G, W, H * cg)
     t1 = jnp.einsum("bgqw,bgwk->bgqk", vx, xp).reshape(B, G, Q, H, cg)
-    dvy = jnp.einsum("bgqhc,bgqc->bgqh", t1, gv)
+    dvy = jnp.einsum("bgqhc,bgqc->bgqh", t1, gv,
+                     preferred_element_type=acc_t)
     dpy = jnp.sum(dvy * _hat_grad(py, H), axis=-1)
 
     # dX[b,y,x,g,c] = sum_q vy[b,g,q,y] vx[b,g,q,x] gv[b,g,q,c]
     u = (vx[..., None] * gv[:, :, :, None, :]).reshape(B, G, Q, W * cg)
-    dx = jnp.einsum("bgqy,bgqk->bgyk", vy, u).reshape(B, G, H, W, cg)
-    dx = dx.transpose(0, 2, 3, 1, 4).reshape(B, H, W, Cin)
-    return dx, dpy, dpx
+    dx = jnp.einsum("bgqy,bgqk->bgyk", vy, u,
+                    preferred_element_type=acc_t).reshape(B, G, H, W, cg)
+    dx = dx.transpose(0, 2, 3, 1, 4).reshape(B, H, W, Cin).astype(x.dtype)
+    return dx, dpy.astype(py.dtype), dpx.astype(px.dtype)
 
 
 _sample_onehot.defvjp(_sample_onehot_fwd, _sample_onehot_bwd)
@@ -177,8 +204,9 @@ def _dcn_v2_onehot(x, offset, mask, weight, bias, K, stride, padding,
     val = sample(x, py, px)                            # (B, Q, G, cg)
     val = val.reshape(B, Ho, Wo, K * K, G, cg).transpose(0, 1, 2, 4, 3, 5)
     val = val * mask.reshape(B, Ho, Wo, G, K * K, 1).astype(val.dtype)
-    w = weight.reshape(K * K, G, cg, weight.shape[-1])
-    out = jnp.einsum("bhwgkc,kgco->bhwo", val, w, preferred_element_type=jnp.float32)
+    w = weight.reshape(K * K, G, cg, weight.shape[-1]).astype(val.dtype)
+    out = jnp.einsum("bhwgkc,kgco->bhwo", val, w,
+                     preferred_element_type=jnp.promote_types(x.dtype, jnp.float32))
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)

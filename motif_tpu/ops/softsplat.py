@@ -120,7 +120,7 @@ def splat_count(flow: jax.Array) -> jax.Array:
     return jax.lax.stop_gradient(out.reshape(B, H, W, 1))
 
 
-def _splat_fused_base(img, flow, z, ez):
+def _splat_fused_base(img, flow, z, ez, scatter_dtype=None):
     """Base-cell scatter backend: ONE scatter row per source pixel.
 
     XLA TPU scatter throughput is row-rate-bound (~4e7 rows/s measured on
@@ -143,21 +143,28 @@ def _splat_fused_base(img, flow, z, ez):
 
     ~4x the live memory of the scan backend (the slotted accumulator), so
     training keeps 'scan'; this is the inference/serving backend.
+
+    scatter_dtype: accumulate the scatter in a narrower dtype (e.g.
+    float16) — halves the scattered bytes. f16 keeps 10 mantissa bits and
+    the splat sums are short (<= ~dozens of O(1) contributions; exp(z) <= 1
+    whenever alpha <= 0), so the relative error stays ~1e-3; must be
+    accuracy-gated per deployment like compute_dtype. None = img.dtype.
     """
     B, H, W, C = img.shape
+    sdt = jnp.dtype(scatter_dtype) if scatter_dtype is not None else img.dtype
     gx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
     gy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
     fx = gx + flow[..., 0]
     fy = gy + flow[..., 1]
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
-    wx1 = (fx - x0).astype(img.dtype)[..., None]
-    wy1 = (fy - y0).astype(img.dtype)[..., None]
-    wx0 = 1.0 - wx1
-    wy0 = 1.0 - wy1
+    wx1 = (fx - x0).astype(sdt)[..., None]
+    wy1 = (fy - y0).astype(sdt)[..., None]
+    wx0 = (1.0 - wx1.astype(jnp.float32)).astype(sdt)
+    wy0 = (1.0 - wy1.astype(jnp.float32)).astype(sdt)
 
-    ezf = ez.astype(img.dtype)
-    u = jnp.concatenate([img * ezf, ezf], -1)                      # (B,H,W,C+1)
+    ezf = ez.astype(sdt)
+    u = jnp.concatenate([img.astype(sdt) * ezf, ezf], -1)          # (B,H,W,C+1)
     one = jax.lax.stop_gradient(jnp.ones_like(ezf))                # count: +1/corner
     payload = jnp.concatenate([
         u * (wy0 * wx0), one, u * (wy0 * wx1), one,
@@ -172,13 +179,13 @@ def _splat_fused_base(img, flow, z, ez):
     ix = x0.astype(jnp.int32) + 1
     valid = (iy >= 0) & (iy <= H + 1) & (ix >= 0) & (ix <= W + 1)
     base = jnp.where(valid, iy * Wp + ix, (H + 2) * Wp)
-    acc = jnp.zeros((B, (H + 2) * Wp, 4 * (C + 2)), img.dtype)
+    acc = jnp.zeros((B, (H + 2) * Wp, 4 * (C + 2)), sdt)
     acc = acc.at[jnp.arange(B)[:, None], base.reshape(B, -1)].add(
         payload.reshape(B, H * W, -1), mode="drop")
     acc = acc.reshape(B, H + 2, Wp, 4, C + 2)
 
     comb = (acc[:, 1:H + 1, 1:W + 1, 0] + acc[:, 1:H + 1, 0:W, 1]
-            + acc[:, 0:H, 1:W + 1, 2] + acc[:, 0:H, 0:W, 3])
+            + acc[:, 0:H, 1:W + 1, 2] + acc[:, 0:H, 0:W, 3]).astype(img.dtype)
     out = comb[..., :C]
     norm = comb[..., C:C + 1]
     count = jax.lax.stop_gradient(comb[..., C + 1:])
@@ -207,7 +214,7 @@ def _splat_max_scan(ez, flow, dtype):
 
 def splat_fused(img: jax.Array, flow: jax.Array, z: jax.Array,
                 z_nonpositive: jax.Array | None = None,
-                method: str = "scan"):
+                method: str = "scan", scatter_dtype=None):
     """Fused softmax-splat + max-splat + count-splat sharing one corner
     computation (the reference launches three CuPy kernels; Ours.py:799-806).
 
@@ -235,7 +242,8 @@ def splat_fused(img: jax.Array, flow: jax.Array, z: jax.Array,
     ez = jnp.exp(z)
 
     if method == "base":
-        out, norm, count = _splat_fused_base(img, flow, z, ez)
+        out, norm, count = _splat_fused_base(img, flow, z, ez,
+                                             scatter_dtype=scatter_dtype)
 
         def ones_zmax(_):
             return jnp.ones((B, H, W, 1), img.dtype)

@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the heavy tests are dominated by XLA compiles of
+# the full MoTIF graph; re-runs with unchanged graphs hit the cache.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -74,3 +74,35 @@ def test_bf16_param_tree_identical():
     s32 = jax.tree.map(lambda a: (a.shape, a.dtype), p32)
     s16 = jax.tree.map(lambda a: (a.shape, a.dtype), p16)
     assert s32 == s16
+
+
+@pytest.mark.slow
+def test_fused_decode_grad_matches():
+    """The synth-fold reads synth_net.net_0 / imnet / flow_imnet kernels via
+    self.variables — gradients must flow through those reads identically to
+    the reference-order path (train-with-fused support)."""
+    rng = np.random.default_rng(1)
+    B, N_in, H, W, N = 1, 4, 64, 64, 2
+    HH, WW = 96, 96
+    x = jnp.asarray(rng.random((B, N_in, H, W, 3), dtype=np.float32))
+    tt = jnp.asarray(np.linspace(0.2, 0.8, N, dtype=np.float32)[None])
+    gt = jnp.asarray(rng.random((B, N, HH, WW, 3), dtype=np.float32))
+
+    m0 = MoTIF(setting=5)
+    m1 = MoTIF(setting=5, fused_decode=True)
+    params = m0.init(jax.random.PRNGKey(0), x, tt, (HH, WW), iters=1)["params"]
+
+    def loss(m):
+        def f(p):
+            fr, _, _ = m.apply({"params": p}, x, tt, (HH, WW), iters=2)
+            return jnp.sum((fr.transpose(1, 0, 2, 3, 4) - gt) ** 2)
+        return jax.grad(f)(params)
+
+    g0 = loss(m0)
+    g1 = loss(m1)
+    for key in ("synth_net", "imnet", "flow_imnet", "encoder"):
+        a = jnp.concatenate([v.ravel() for v in jax.tree.leaves(g0[key])])
+        b = jnp.concatenate([v.ravel() for v in jax.tree.leaves(g1[key])])
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        d = float(jnp.max(jnp.abs(a - b))) / scale
+        assert d < 5e-3, f"grad mismatch in {key}: rel {d}"

@@ -167,3 +167,21 @@ def test_splat_fused_nonpositive_shortcut(rng):
     np.testing.assert_allclose(
         np.asarray(full_p[2]),
         np.asarray(softsplat.splat_max(jnp.exp(jnp.asarray(z_pos)), f)), atol=1e-6)
+
+
+def test_base_scatter_dtype_close_to_fp32():
+    """scatter_dtype=float16 accumulates the base-backend scatter in f16;
+    with short sums of O(1) values the result must stay within ~1e-2 of the
+    fp32 accumulation (serving-path accuracy knob, splat_fused docstring)."""
+    rng = np.random.default_rng(3)
+    B, H, W, C = 2, 13, 17, 8
+    img = jnp.asarray(rng.random((B, H, W, C), dtype=np.float32))
+    flow = jnp.asarray((rng.random((B, H, W, 2), dtype=np.float32) - 0.5) * 6)
+    z = jnp.asarray(rng.random((B, H, W, 1), dtype=np.float32)) * -1.5
+
+    ref = softsplat.splat_fused(img, flow, z, method="base")
+    f16 = softsplat.splat_fused(img, flow, z, method="base",
+                               scatter_dtype=jnp.float16)
+    for a, b, tol in zip(ref, f16, (2e-2, 2e-2, 2e-2, 0.0)):
+        assert a.dtype == b.dtype == jnp.float32
+        assert float(jnp.max(jnp.abs(a - b))) <= tol + 1e-6

@@ -73,6 +73,24 @@ def main():
         {"params": p}, x, tt, (HH, WW), use_gt=False, iters=4)[0])
     report["full_forward_bf16_fused"] = timeit(fwd_bf, params, x, tt)
 
+    model_srv = MoTIF(setting=5, compute_dtype="bfloat16", fused_decode=True,
+                      splat_method="base")
+    fwd_srv = jax.jit(lambda p, x, tt: model_srv.apply(
+        {"params": p}, x, tt, (HH, WW), use_gt=False, iters=4)[0])
+    report["full_forward_serving(base splat)"] = timeit(fwd_srv, params, x, tt)
+
+    model_srv2 = MoTIF(setting=5, compute_dtype="bfloat16", fused_decode=True,
+                       splat_method="base", raft_resolution=0.5)
+    fwd_srv2 = jax.jit(lambda p, x, tt: model_srv2.apply(
+        {"params": p}, x, tt, (HH, WW), use_gt=False, iters=4)[0])
+    report["full_forward_serving(+raft@hr/2)"] = timeit(fwd_srv2, params, x, tt)
+
+    model_srv3 = MoTIF(setting=5, compute_dtype="bfloat16", fused_decode=True,
+                       splat_method="scan", raft_resolution=0.5)
+    fwd_srv3 = jax.jit(lambda p, x, tt: model_srv3.apply(
+        {"params": p}, x, tt, (HH, WW), use_gt=False, iters=4)[0])
+    report["full_forward_serving(scan,raft/2)"] = timeit(fwd_srv3, params, x, tt)
+
     # --- RAFT: 4 directed HR pairs, iters=4 ---
     src = jnp.asarray(rng.random((n * n * B, HH, WW, 3), dtype=np.float32)) * 255.0
     dst = jnp.asarray(rng.random((n * n * B, HH, WW, 3), dtype=np.float32)) * 255.0
@@ -83,6 +101,9 @@ def main():
     fr = jnp.asarray(rng.random((B, 2, H, W, 3), dtype=np.float32))
     enc_fn = jax.jit(lambda p, f: ZSMEncoder(64).apply({"params": p}, f))
     report["zsm_encoder_lr"] = timeit(enc_fn, params["encoder"], fr)
+    enc_bf = jax.jit(lambda p, f: ZSMEncoder(64).apply(
+        {"params": p}, f.astype(jnp.bfloat16)))
+    report["zsm_encoder_lr_bf16"] = timeit(enc_bf, params["encoder"], fr)
 
     # --- SIRENs at HR token counts ---
     sti = jnp.asarray(rng.random((n * B * N, HH * WW, 67), dtype=np.float32))
