@@ -146,6 +146,13 @@ def load_params(path: str, params: dict, logger=None) -> dict:
         return _merge_params(params, ported)
     import orbax.checkpoint as ocp
 
+    # accept a checkpoint ROOT (experiments/<name>/models) and resolve it to
+    # its newest step_N dir, like the reference's resume_state auto-pick
+    # (option.py check_resume); a step dir or params dir passes through.
+    if not os.path.exists(os.path.join(path, "_METADATA")):
+        step = latest_step(path)
+        if step is not None:
+            path = os.path.join(path, f"step_{step}")
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(os.path.abspath(path))
     # accept either a bare params tree or a full TrainState-like dict

@@ -151,8 +151,9 @@ def main():
                 logger.info("saved checkpoint at step %d", step)
         epoch += 1
     if jax.process_index() == 0:
-        checkpoint.save_train_state(ckpt_dir, step, state,
-                                    meta={"epoch": epoch})
+        if checkpoint.latest_step(ckpt_dir) != step:  # periodic save may have
+            checkpoint.save_train_state(ckpt_dir, step, state,  # just run
+                                        meta={"epoch": epoch})
         logger.info("training done at step %d", step)
 
 
