@@ -52,10 +52,8 @@ def main():
     tt0 = jnp.zeros((1, args.time_scale), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x0, tt0, (64, 64), iters=1)["params"]
     if args.checkpoint:
-        ported = ckpt_lib.load_reference_checkpoint(args.checkpoint)
-        params = jax.tree_util.tree_map(lambda a: a, params)  # copy
-        from test import _merge
-        params = _merge(params, ported)
+        # torch .pth (reference bridge) or native orbax dir / checkpoint root
+        params = ckpt_lib.load_params(args.checkpoint, params)
 
     HH, WW = H4 * args.space_scale, W4 * args.space_scale
     times = jnp.asarray([[i / args.time_scale for i in range(args.time_scale)]],

@@ -24,6 +24,8 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--iters", type=int, default=4, help="RAFT iters (Ours path)")
     p.add_argument("--recipe", choices=["ours44", "ours", "both"], default="both")
+    p.add_argument("--dtype", default=None,
+                   help="compute_dtype for the conv trunk (e.g. bfloat16)")
     args = p.parse_args()
 
     import numpy as np
@@ -49,7 +51,7 @@ def main():
         batch = jax.device_put(batch, shard_batch(mesh))
         t_c = time.time()
         state, aux = trainer.step(state, batch)   # compile + step
-        jax.block_until_ready(aux["loss"])
+        float(aux["loss"])  # host fetch: the only honest sync via the relay
         compile_s = time.time() - t_c
         # force the single use_gt variant we just compiled
         trainer._rng.random = lambda: 0.0  # always < ratio -> use_gt=True
@@ -57,7 +59,7 @@ def main():
         for _ in range(args.steps):
             t0 = time.time()
             state, aux = trainer.step(state, batch)
-            jax.block_until_ready(aux["loss"])
+            float(aux["loss"])
             per.append(time.time() - t0)
         s_it = sum(per) / len(per)
         print(f"  per-step: {[f'{v:.2f}' for v in per]}", flush=True)
@@ -76,10 +78,12 @@ def main():
         batch44 = dict(common,
                        flow=rng.standard_normal((B, 16, H, H, 2)).astype(np.float32),
                        flow_gt=rng.standard_normal((B, N, 4, GT, GT, 2)).astype(np.float32))
-        run("Ours_44 + precomputed flows", MoTIF(setting=5, n_anchors=4),
+        run("Ours_44 + precomputed flows",
+            MoTIF(setting=5, n_anchors=4, compute_dtype=args.dtype),
             batch44, iters=args.iters)
     if args.recipe in ("ours", "both"):
-        run("Ours (live RAFT teacher)", MoTIF(setting=5, n_anchors=2),
+        run("Ours (live RAFT teacher)",
+            MoTIF(setting=5, n_anchors=2, compute_dtype=args.dtype),
             common, iters=args.iters)
 
 
