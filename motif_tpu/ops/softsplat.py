@@ -165,10 +165,16 @@ def _splat_fused_base(img, flow, z, ez, scatter_dtype=None):
 
     ezf = ez.astype(sdt)
     u = jnp.concatenate([img.astype(sdt) * ezf, ezf], -1)          # (B,H,W,C+1)
-    one = jax.lax.stop_gradient(jnp.ones_like(ezf))                # count: +1/corner
+    # One outer product builds all four corner payloads (vs a 12-piece
+    # concat of per-corner multiplies — ~1.4 GB less elementwise traffic at
+    # serving sizes). Counts (+1 per corner, unweighted — softsplat_count
+    # semantics) ride as four trailing channels.
+    w4 = jnp.concatenate([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
+                         -1)                                       # (B,H,W,4)
+    ones4 = jax.lax.stop_gradient(jnp.ones_like(w4))
     payload = jnp.concatenate([
-        u * (wy0 * wx0), one, u * (wy0 * wx1), one,
-        u * (wy1 * wx0), one, u * (wy1 * wx1), one], -1)           # (B,H,W,4(C+2))
+        (u[..., None, :] * w4[..., :, None]).reshape(B, H, W, 4 * (C + 1)),
+        ones4], -1)                                                # (B,H,W,4(C+1)+4)
 
     # The accumulator is flattened to one spatial axis, so per-axis bounds
     # must be checked explicitly (a row-only overflow would alias into the
@@ -182,13 +188,17 @@ def _splat_fused_base(img, flow, z, ez, scatter_dtype=None):
     acc = jnp.zeros((B, (H + 2) * Wp, 4 * (C + 2)), sdt)
     acc = acc.at[jnp.arange(B)[:, None], base.reshape(B, -1)].add(
         payload.reshape(B, H * W, -1), mode="drop")
-    acc = acc.reshape(B, H + 2, Wp, 4, C + 2)
+    accv = acc[..., :4 * (C + 1)].reshape(B, H + 2, Wp, 4, C + 1)
+    accc = acc[..., 4 * (C + 1):].reshape(B, H + 2, Wp, 4, 1)
 
-    comb = (acc[:, 1:H + 1, 1:W + 1, 0] + acc[:, 1:H + 1, 0:W, 1]
-            + acc[:, 0:H, 1:W + 1, 2] + acc[:, 0:H, 0:W, 3]).astype(img.dtype)
+    def shift_combine(a):
+        return (a[:, 1:H + 1, 1:W + 1, 0] + a[:, 1:H + 1, 0:W, 1]
+                + a[:, 0:H, 1:W + 1, 2] + a[:, 0:H, 0:W, 3]).astype(img.dtype)
+
+    comb = shift_combine(accv)
     out = comb[..., :C]
     norm = comb[..., C:C + 1]
-    count = jax.lax.stop_gradient(comb[..., C + 1:])
+    count = jax.lax.stop_gradient(shift_combine(accc))
     return out, norm, count
 
 

@@ -26,6 +26,9 @@ def main():
     p.add_argument("--recipe", choices=["ours44", "ours", "both"], default="both")
     p.add_argument("--dtype", default=None,
                    help="compute_dtype for the conv trunk (e.g. bfloat16)")
+    p.add_argument("--fused", action="store_true",
+                   help="fused_decode (66-ch splat payload: kills the 131->256"
+                        " lane-padding that blows up batch-8 memory)")
     args = p.parse_args()
 
     import numpy as np
@@ -79,11 +82,13 @@ def main():
                        flow=rng.standard_normal((B, 16, H, H, 2)).astype(np.float32),
                        flow_gt=rng.standard_normal((B, N, 4, GT, GT, 2)).astype(np.float32))
         run("Ours_44 + precomputed flows",
-            MoTIF(setting=5, n_anchors=4, compute_dtype=args.dtype),
+            MoTIF(setting=5, n_anchors=4, compute_dtype=args.dtype,
+                  fused_decode=args.fused),
             batch44, iters=args.iters)
     if args.recipe in ("ours", "both"):
         run("Ours (live RAFT teacher)",
-            MoTIF(setting=5, n_anchors=2, compute_dtype=args.dtype),
+            MoTIF(setting=5, n_anchors=2, compute_dtype=args.dtype,
+                  fused_decode=args.fused),
             common, iters=args.iters)
 
 
