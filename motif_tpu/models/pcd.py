@@ -197,8 +197,15 @@ class BiDeformableConvLSTM(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         net = DeformableConvLSTM(self.nf, self.groups, name="forward_net")
-        out_fwd = net(x)
-        out_rev = net(x[:, ::-1])[:, ::-1]
+        # The reference runs the SAME forward_net over the sequence twice
+        # (forwards, then reversed). The two passes share parameters and are
+        # independent, so they ride ONE pass as batch entries — TPU executes
+        # ops serially, and the recurrent chain is the encoder's critical
+        # path, so this halves the sequential step count exactly.
+        B = x.shape[0]
+        both_dirs = net(jnp.concatenate([x, x[:, ::-1]], axis=0))
+        out_fwd = both_dirs[:B]
+        out_rev = both_dirs[B:][:, ::-1]
         both = jnp.concatenate([out_fwd, out_rev], axis=-1)
         B, T, H, W, C2 = both.shape
         fused = Conv2d(self.nf, 1, 1, 0, name="conv_1x1")(both.reshape(B * T, H, W, C2))

@@ -49,6 +49,14 @@ def trees(tmp_path_factory):
     adobe = root / "adobe"
     frames(adobe / "HR" / "clip0", 10, (136, 144))
     frames(adobe / "LR" / "clip0", 10, (34, 36))
+    # Adobe_flow precomputed arrays (flow_root defaults to the LQ root):
+    # LR anchor flow (K,2,h,w), psies (K,3,h,w), HR GT flow (2*9,2,H,W).
+    np.save(adobe / "LR" / "clip0" / "000_002_flow.npy",
+            rng.normal(size=(4, 2, 34, 36)).astype(np.float32))
+    np.save(adobe / "LR" / "clip0" / "000_002_psies.npy",
+            rng.normal(size=(4, 3, 34, 36)).astype(np.float32))
+    np.save(adobe / "LR" / "clip0" / "000_002_flow_GT.npy",
+            rng.normal(size=(18, 2, 136, 144)).astype(np.float32))
 
     # Vimeo septuplet with the reference flow npys.
     vimeo = root / "vimeo"
@@ -107,7 +115,9 @@ def _one_batch(dopt, mode, seed=0):
     ds = create_dataset(dopt)
     assert len(ds) > 0, f"empty dataset for mode {mode}"
     kw = {}
-    if mode.endswith("_a"):
+    # the arbitrary-scale collate is a TRAIN-path construct; eval presets
+    # ending in _a (Gopro_test_a) produce ready-made windows instead.
+    if mode.endswith("_a") and not mode.endswith("_test_a"):
         kw["collate"] = functools.partial(
             collate_adobe_arbitrary, lq_size=int(dopt["LQ_size"]),
             rng=_FixedScale(seed))
