@@ -54,7 +54,10 @@ def _measure(model, N=3):
 
     x0 = jnp.zeros((1, N_in, 16, 16, 3), jnp.float32)
     tt0 = jnp.zeros((1, N), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x0, tt0, (64, 64), iters=1)["params"]
+    # jit the init: eager init would execute op-by-op through the axon
+    # relay (~32 ms/op roundtrip) and dominate bench wall-clock.
+    params = jax.jit(lambda k: model.init(k, x0, tt0, (64, 64), iters=1))(
+        jax.random.PRNGKey(0))["params"]
 
     # Synchronization: block_until_ready is a no-op through the remote-TPU
     # relay, so each timed window ends by fetching ONE on-device f32 scalar

@@ -19,6 +19,7 @@ import os
 import re
 from typing import Any, Mapping
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -87,7 +88,20 @@ def port_torch_state_dict(state_dict: Mapping[str, Any],
         for p in path[:-1]:
             node = node.setdefault(p, {})
         node[path[-1]] = jnp.asarray(arr)
-    return tree
+    return _stack_pcd_pairs(tree)
+
+
+def _stack_pcd_pairs(tree):
+    """The torch DeformableConvLSTM holds separate pcd_h / pcd_c EasyPCD
+    stacks (reference Ours.py:230-231); this package runs them as ONE
+    nn.vmap'd module 'pcd_hc' whose params carry a leading [h, c] axis
+    (models/pcd.py::DeformableConvLSTM). Stack the two ported subtrees."""
+    if not isinstance(tree, dict):
+        return tree
+    if "pcd_h" in tree and "pcd_c" in tree:
+        h, c = tree.pop("pcd_h"), tree.pop("pcd_c")
+        tree["pcd_hc"] = jax.tree.map(lambda a, b: jnp.stack([a, b]), h, c)
+    return {k: _stack_pcd_pairs(v) for k, v in tree.items()}
 
 
 def load_reference_checkpoint(path: str) -> dict:

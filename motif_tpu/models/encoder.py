@@ -41,17 +41,21 @@ class ZSMEncoder(nn.Module):
         pcd_align = nn.remat(PCDAlign)(nf, groups=8, name="pcd_align")
         fusion = Conv2d(nf, 1, 1, 0, name="fusion")
 
-        to_lstm = []
-        for idx in range(N - 1):
-            fea1 = [l1[:, idx], l2[:, idx], l3[:, idx]]
-            fea2 = [l1[:, idx + 1], l2[:, idx + 1], l3[:, idx + 1]]
-            aligned = pcd_align(fea1, fea2, None, None)
-            fused = fusion(aligned)
-            if idx == 0:
-                to_lstm.append(fea1[0])
-            to_lstm.append(fused)
-            to_lstm.append(fea2[0])
-        feats = jnp.stack(to_lstm, axis=1)  # (B, 2N-1, H, W, nf)
+        # The reference aligns the N-1 adjacent pairs one at a time
+        # (Ours.py:392-402); the pairs share parameters and are data
+        # independent, so they ride ONE PCDAlign call with the pair axis
+        # folded into batch — bigger convs for the MXU, one DCN dispatch.
+        def pairs(l):
+            _, _, h, w, c = l.shape
+            return (l[:, :-1].reshape(B * (N - 1), h, w, c),
+                    l[:, 1:].reshape(B * (N - 1), h, w, c))
+        (a1, b1), (a2, b2), (a3, b3) = pairs(l1), pairs(l2), pairs(l3)
+        aligned = pcd_align([a1, a2, a3], [b1, b2, b3], None, None)
+        fused = fusion(aligned).reshape(B, N - 1, H, W, nf)
+        # Interleave: frame0, fused01, frame1, fused12, ..., frameN-1.
+        inter = jnp.stack([l1[:, :-1], fused], axis=2)
+        feats = jnp.concatenate(
+            [inter.reshape(B, 2 * (N - 1), H, W, nf), l1[:, -1:]], axis=1)
 
         feats = nn.remat(BiDeformableConvLSTM)(nf, groups=8,
                                                name="ConvBLSTM")(feats)

@@ -173,17 +173,28 @@ class DeformableConvLSTM(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         """x: (B, T, H, W, C) → outputs (B, T, H, W, C)."""
         B, T, H, W, C = x.shape
-        pcd_h = EasyPCD(self.nf, self.groups, name="pcd_h")
-        pcd_c = EasyPCD(self.nf, self.groups, name="pcd_c")
+        # The reference's pcd_h and pcd_c (Ours.py:230-231) are two
+        # independent EasyPCD stacks applied to (xt, h) and (xt, c) at every
+        # recurrent step. They are data-independent within a step and the
+        # step graph is latency-bound at PCD sizes (B→2B is near-free on
+        # v5e), so both stacks ride ONE vmapped call: params carry a leading
+        # [h, c] axis of 2 and every conv/DCN becomes a single grouped op.
+        # The torch-port bridge stacks pcd_h/pcd_c into this layout
+        # (checkpoint.py::_stack_pcd_pairs).
+        pcd_hc = nn.vmap(
+            EasyPCD,
+            in_axes=0, out_axes=0,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+        )(self.nf, self.groups, name="pcd_hc")
         cell = ConvLSTMCell(self.nf, self.kernel_size, name="cell_list_0")
         h = jnp.zeros((B, H, W, self.nf), x.dtype)
         c = jnp.zeros((B, H, W, self.nf), x.dtype)
         outs = []
         for t in range(T):
             xt = x[:, t]
-            h_tmp = pcd_h(xt, h)
-            c_tmp = pcd_c(xt, c)
-            h, c = cell(xt, (h_tmp, c_tmp))
+            hc = pcd_hc(jnp.stack([xt, xt]), jnp.stack([h, c]))
+            h, c = cell(xt, (hc[0], hc[1]))
             outs.append(h)
         return jnp.stack(outs, axis=1)
 

@@ -84,7 +84,7 @@ def test_motif_param_tree_names(tiny_motif):
     pcd = params["encoder"]["pcd_align"]
     assert "L3_dcnpack_1" in pcd and "conv_offset_mask" in pcd["L3_dcnpack_1"]
     lstm = params["encoder"]["ConvBLSTM"]["forward_net"]
-    assert "cell_list_0" in lstm and "pcd_h" in lstm
+    assert "cell_list_0" in lstm and "pcd_hc" in lstm
 
 
 @pytest.mark.slow

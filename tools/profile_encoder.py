@@ -46,7 +46,9 @@ def main():
 
     enc = ZSMEncoder(nf)
     x = jnp.asarray(rng.random((B, 2, H, W, 3), dtype=np.float32))
-    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    # jit the init: eager init executes op-by-op through the axon relay
+    # (~32 ms/op roundtrip), which takes tens of minutes for this graph.
+    params = jax.jit(enc.init)(jax.random.PRNGKey(0), x)["params"]
 
     class Report(dict):
         def __setitem__(self, k, v):

@@ -52,7 +52,8 @@ def main():
     model = MoTIF(setting=5)
     x0 = jnp.zeros((1, N_in, 16, 16, 3), jnp.float32)
     tt0 = jnp.zeros((1, N), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x0, tt0, (64, 64), iters=1)["params"]
+    params = jax.jit(lambda k: model.init(k, x0, tt0, (64, 64), iters=1))(
+        jax.random.PRNGKey(0))["params"]
 
     class Report(dict):
         def __setitem__(self, k, v):
