@@ -88,7 +88,14 @@ def port_torch_state_dict(state_dict: Mapping[str, Any],
         for p in path[:-1]:
             node = node.setdefault(p, {})
         node[path[-1]] = jnp.asarray(arr)
-    return _stack_pcd_pairs(tree)
+    return upgrade_param_layout(tree)
+
+
+def upgrade_param_layout(tree):
+    """Rewrite a ported torch tree (or an old-layout native orbax tree) into
+    this package's parameter layout: stacked pcd_h/pcd_c pairs and stacked
+    scanned residual-block families."""
+    return _stack_scanned_blocks(_stack_pcd_pairs(tree))
 
 
 def _stack_pcd_pairs(tree):
@@ -102,6 +109,31 @@ def _stack_pcd_pairs(tree):
         h, c = tree.pop("pcd_h"), tree.pop("pcd_c")
         tree["pcd_hc"] = jax.tree.map(lambda a, b: jnp.stack([a, b]), h, c)
     return {k: _stack_pcd_pairs(v) for k, v in tree.items()}
+
+
+# Residual-block stacks that run as ONE nn.scan body with the per-block
+# weights stacked on a leading axis (models/layers.py::ResBlocks). The torch
+# side unrolls them as <name>.0 .. <name>.{k-1} (make_layer Sequentials:
+# module_util.py:27-31; EDVR.py 'reconstruction').
+SCANNED_BLOCK_FAMILIES = ("feature_extraction", "recon_trunk",
+                          "reconstruction")
+
+
+def _stack_scanned_blocks(tree):
+    if not isinstance(tree, dict):
+        return tree
+    for fam in SCANNED_BLOCK_FAMILIES:
+        idxs = []
+        for k in tree:
+            m = re.fullmatch(re.escape(fam) + r"_(\d+)", k)
+            if m:
+                idxs.append(int(m.group(1)))
+        if not idxs or sorted(idxs) != list(range(len(idxs))):
+            continue
+        blocks = [tree.pop(f"{fam}_{i}") for i in range(len(idxs))]
+        tree[fam] = {"block": jax.tree.map(
+            lambda *xs: jnp.stack(xs), *blocks)}
+    return {k: _stack_scanned_blocks(v) for k, v in tree.items()}
 
 
 def load_reference_checkpoint(path: str) -> dict:
@@ -172,6 +204,22 @@ def load_params(path: str, params: dict, logger=None) -> dict:
     # accept either a bare params tree or a full TrainState-like dict
     if isinstance(restored, dict) and "params" in restored:
         restored = restored["params"]
+    # Old-layout native checkpoints (pre pcd_hc / scanned-trunk renames)
+    # restore through the same layout upgrade as torch ports, and the orbax
+    # path verifies like the torch path does — a silent _merge_params of a
+    # mismatched tree would keep randomly-initialized subtrees.
+    restored = upgrade_param_layout(restored)
+    problems = verify_port(params, restored)
+    missing = [p for p in problems if not p.startswith("extra")]
+    if missing:
+        msg = ("orbax checkpoint %s does not match the model param tree "
+               "(%d issues, e.g. %s) — the merged tree keeps RANDOM INIT "
+               "for those subtrees" % (path, len(missing), missing[:5]))
+        if logger:
+            logger.warning(msg)
+        else:
+            import warnings
+            warnings.warn(msg)
     if logger:
         logger.info("loaded orbax checkpoint %s", path)
     return _merge_params(params, restored)

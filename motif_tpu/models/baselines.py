@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from motif_tpu.models.layers import (Conv2d, ResidualBlockNoBN, lrelu,
+from motif_tpu.models.layers import (Conv2d, ResBlocks, lrelu,
                                      pixel_shuffle, max_pool2d,
                                      avg_pool2d_padded)
 from motif_tpu.models.pcd import BiDeformableConvLSTM, DCNSep, PCDAlign
@@ -28,8 +28,7 @@ def _zsm_trunk(x: jax.Array, nf: int, front_rbs: int, use_time: bool = False,
     B, N, H, W, C = x.shape
     flat = x.reshape(B * N, H, W, C)
     l1 = lrelu(Conv2d(nf, 3, 1, 1, name="conv_first")(flat))
-    for i in range(front_rbs):
-        l1 = ResidualBlockNoBN(nf, name=f"feature_extraction_{i}")(l1)
+    l1 = ResBlocks(nf, front_rbs, name="feature_extraction")(l1)
     l2 = lrelu(Conv2d(nf, 3, 2, 1, name="fea_L2_conv1")(l1))
     l2 = lrelu(Conv2d(nf, 3, 1, 1, name="fea_L2_conv2")(l2))
     l3 = lrelu(Conv2d(nf, 3, 2, 1, name="fea_L3_conv1")(l2))
@@ -79,8 +78,7 @@ class ZSM(nn.Module):
         feats = BiDeformableConvLSTM(self.nf, self.groups, name="ConvBLSTM")(feats)
         B2, T, H, W, C = feats.shape
         out = feats.reshape(B2 * T, H, W, C)
-        for i in range(self.back_rbs):
-            out = ResidualBlockNoBN(self.nf, name=f"recon_trunk_{i}")(out)
+        out = ResBlocks(self.nf, self.back_rbs, name="recon_trunk")(out)
         out = _upsample_head(out, self.nf)
         return out.reshape(B, T, 4 * H, 4 * W, 3)
 
@@ -140,8 +138,7 @@ class TMNet(nn.Module):
         out = feats.reshape(B2 * feats.shape[1], H, W, C)
         back = lstm_feats  # TMNet adds the pre-LSTM feats as residual
         res = dnc.reshape(B2 * T, H, W, C)
-        for i in range(self.back_rbs):
-            out = ResidualBlockNoBN(self.nf, name=f"recon_trunk_{i}")(out)
+        out = ResBlocks(self.nf, self.back_rbs, name="recon_trunk")(out)
         out = out + res  # TMNet.py:452: out + back_feats (the dnc stack)
         out = _upsample_head(out, self.nf)
         return out.reshape(B, T, 4 * H, 4 * W, 3)
@@ -236,8 +233,7 @@ class EDVR(nn.Module):
         x_center = x[:, center]
 
         l1 = lrelu(Conv2d(self.nf, 3, 1, 1, name="conv_first")(x.reshape(B * T, H, W, C)))
-        for i in range(self.extract_blocks):
-            l1 = ResidualBlockNoBN(self.nf, name=f"feature_extraction_{i}")(l1)
+        l1 = ResBlocks(self.nf, self.extract_blocks, name="feature_extraction")(l1)
         l2 = lrelu(Conv2d(self.nf, 3, 2, 1, name="conv_l2_1")(l1))
         l2 = lrelu(Conv2d(self.nf, 3, 1, 1, name="conv_l2_2")(l2))
         l3 = lrelu(Conv2d(self.nf, 3, 2, 1, name="conv_l3_1")(l2))
@@ -258,8 +254,7 @@ class EDVR(nn.Module):
                 aligned.transpose(0, 2, 3, 1, 4).reshape(B, H, W, -1))
 
         out = feat
-        for i in range(self.recon_blocks):
-            out = ResidualBlockNoBN(self.nf, name=f"reconstruction_{i}")(out)
+        out = ResBlocks(self.nf, self.recon_blocks, name="reconstruction")(out)
         out = lrelu(pixel_shuffle(Conv2d(self.nf * 4, 3, 1, 1, name="upconv1")(out), 2))
         out = lrelu(pixel_shuffle(Conv2d(64 * 4, 3, 1, 1, name="upconv2")(out), 2))
         out = lrelu(Conv2d(64, 3, 1, 1, name="conv_hr")(out))

@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from motif_tpu.models.layers import Conv2d, ResidualBlockNoBN, lrelu
+from motif_tpu.models.layers import Conv2d, ResBlocks, lrelu
 from motif_tpu.models.pcd import BiDeformableConvLSTM, PCDAlign
 
 
@@ -24,8 +24,7 @@ class ZSMEncoder(nn.Module):
         flat = x.reshape(B * N, H, W, C)
 
         l1 = lrelu(Conv2d(nf, 3, 1, 1, name="conv_first")(flat))
-        for i in range(5):
-            l1 = ResidualBlockNoBN(nf, name=f"feature_extraction_{i}")(l1)
+        l1 = ResBlocks(nf, 5, name="feature_extraction")(l1)
         l2 = lrelu(Conv2d(nf, 3, 2, 1, name="fea_L2_conv1")(l1))
         l2 = lrelu(Conv2d(nf, 3, 1, 1, name="fea_L2_conv2")(l2))
         l3 = lrelu(Conv2d(nf, 3, 2, 1, name="fea_L3_conv1")(l2))
@@ -61,6 +60,5 @@ class ZSMEncoder(nn.Module):
                                                name="ConvBLSTM")(feats)
         B2, T, H2, W2, C2 = feats.shape
         out = feats.reshape(B2 * T, H2, W2, C2)
-        for i in range(40):
-            out = ResidualBlockNoBN(nf, name=f"recon_trunk_{i}")(out)
+        out = ResBlocks(nf, 40, name="recon_trunk")(out)
         return out.reshape(B2, T, H2, W2, nf)

@@ -152,6 +152,46 @@ class ResidualBlockNoBN(nn.Module):
         return x + conv2(jax.nn.relu(conv1(x)))
 
 
+class _ResBlockScanStep(nn.Module):
+    """One ResidualBlockNoBN body in (carry, _) -> (carry, None) form for
+    nn.scan."""
+    nf: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, _):
+        conv1 = Conv2d(self.nf, 3, 1, 1, kernel_init=kaiming_normal_fan_in(0.1),
+                       bias_init=nn.initializers.zeros, name="conv1")
+        conv2 = Conv2d(self.nf, 3, 1, 1, kernel_init=kaiming_normal_fan_in(0.1),
+                       bias_init=nn.initializers.zeros, name="conv2")
+        return x + conv2(jax.nn.relu(conv1(x))), None
+
+
+class ResBlocks(nn.Module):
+    """A stack of n ResidualBlockNoBN compiled as ONE lax.scan body with the
+    per-block weights stacked on a leading axis — numerically identical to n
+    unrolled blocks but with O(1)-in-depth compile time (the reference's
+    make_layer Sequential, module_util.py:27-31, unrolls in torch where
+    tracing is free; under XLA a 40-deep unroll dominates compile).
+
+    Param layout: <name>/block/conv{1,2}/{kernel,bias} with leading axis
+    n_blocks; checkpoint.py::_stack_scanned_blocks restacks torch's
+    <name>.{i}.* families (and old unrolled orbax trees) into this layout.
+    """
+    nf: int
+    n_blocks: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scan = nn.scan(
+            _ResBlockScanStep,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.n_blocks,
+        )(self.nf, name="block")
+        y, _ = scan(x, None)
+        return y
+
+
 class LateralBlock(nn.Module):
     """LateralBlock (Ours.py:861-871): conv-lrelu-conv + skip, default init."""
     dim: int

@@ -164,15 +164,17 @@ class EasyPCD(nn.Module):
 class DeformableConvLSTM(nn.Module):
     """DeformableConvLSTM (Ours.py:213-307), single layer: at each step the
     hidden/cell states are PCD-aligned to the current input before the
-    ConvLSTM cell update."""
+    ConvLSTM cell update.
+
+    The T recurrent steps share all parameters, so the time loop runs as ONE
+    nn.scan body (compile time O(1) in T — a 7-step unroll of the full
+    EasyPCD graph dominated cold XLA compile) with carry (h, c).
+    """
     nf: int
     groups: int
     kernel_size: tuple[int, int] = (3, 3)
 
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        """x: (B, T, H, W, C) → outputs (B, T, H, W, C)."""
-        B, T, H, W, C = x.shape
+    def setup(self):
         # The reference's pcd_h and pcd_c (Ours.py:230-231) are two
         # independent EasyPCD stacks applied to (xt, h) and (xt, c) at every
         # recurrent step. They are data-independent within a step and the
@@ -181,22 +183,30 @@ class DeformableConvLSTM(nn.Module):
         # [h, c] axis of 2 and every conv/DCN becomes a single grouped op.
         # The torch-port bridge stacks pcd_h/pcd_c into this layout
         # (checkpoint.py::_stack_pcd_pairs).
-        pcd_hc = nn.vmap(
+        self.pcd_hc = nn.vmap(
             EasyPCD,
             in_axes=0, out_axes=0,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-        )(self.nf, self.groups, name="pcd_hc")
-        cell = ConvLSTMCell(self.nf, self.kernel_size, name="cell_list_0")
-        h = jnp.zeros((B, H, W, self.nf), x.dtype)
-        c = jnp.zeros((B, H, W, self.nf), x.dtype)
-        outs = []
-        for t in range(T):
-            xt = x[:, t]
-            hc = pcd_hc(jnp.stack([xt, xt]), jnp.stack([h, c]))
-            h, c = cell(xt, (hc[0], hc[1]))
-            outs.append(h)
-        return jnp.stack(outs, axis=1)
+        )(self.nf, self.groups)
+        self.cell_list_0 = ConvLSTMCell(self.nf, self.kernel_size)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: (B, T, H, W, C) → outputs (B, T, H, W, C)."""
+        B, T, H, W, C = x.shape
+        h0 = jnp.zeros((B, H, W, self.nf), x.dtype)
+        c0 = jnp.zeros((B, H, W, self.nf), x.dtype)
+
+        def step(mod, carry, xt):
+            h, c = carry
+            hc = mod.pcd_hc(jnp.stack([xt, xt]), jnp.stack([h, c]))
+            h2, c2 = mod.cell_list_0(xt, (hc[0], hc[1]))
+            return (h2, c2), h2
+
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=1, out_axes=1)
+        _, outs = scan(self, (h0, c0), x)
+        return outs
 
 
 class BiDeformableConvLSTM(nn.Module):

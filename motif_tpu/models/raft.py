@@ -286,59 +286,74 @@ class RAFT(nn.Module):
     small: bool = True
     corr_levels: int = 4
 
-    @nn.compact
+    def setup(self):
+        hdim = 96 if self.small else 128
+        cdim = 64 if self.small else 128
+        self._hdim, self._cdim = hdim, cdim
+        if self.small:
+            self.fnet = SmallEncoder(128, "instance")
+            self.cnet = SmallEncoder(hdim + cdim, "none")
+            self.update_block = SmallUpdateBlock(hdim)
+        else:
+            self.fnet = BasicEncoder(256, "instance")
+            self.cnet = BasicEncoder(hdim + cdim, "batch")
+            self.update_block = BasicUpdateBlock(hdim)
+
     def __call__(self, image1: jax.Array, image2: jax.Array, iters: int = 12,
                  return_all: bool = False):
         img1 = 2.0 * (image1 / 255.0) - 1.0
         img2 = 2.0 * (image2 / 255.0) - 1.0
-        hdim = 96 if self.small else 128
-        cdim = 64 if self.small else 128
+        hdim = self._hdim
         radius = 3 if self.small else 4
 
-        if self.small:
-            fnet = SmallEncoder(128, "instance", name="fnet")
-            cnet = SmallEncoder(hdim + cdim, "none", name="cnet")
-            update = SmallUpdateBlock(hdim, name="update_block")
-        else:
-            fnet = BasicEncoder(256, "instance", name="fnet")
-            cnet = BasicEncoder(hdim + cdim, "batch", name="cnet")
-            update = BasicUpdateBlock(hdim, name="update_block")
-
         B = img1.shape[0]
-        fmaps = fnet(jnp.concatenate([img1, img2], axis=0))
+        fmaps = self.fnet(jnp.concatenate([img1, img2], axis=0))
         fmap1, fmap2 = fmaps[:B], fmaps[B:]
 
         pyramid = corr_pyramid(all_pairs_corr(fmap1, fmap2), self.corr_levels)
 
-        c = cnet(img1)
+        c = self.cnet(img1)
         net = jnp.tanh(c[..., :hdim])
         inp = jax.nn.relu(c[..., hdim:])
 
         H8, W8 = fmap1.shape[1], fmap1.shape[2]
         coords0 = coords_grid(B, H8, W8)
-        coords1 = coords0
+        # coords accumulate at >= fp32 regardless of compute dtype: the
+        # reference creates the grid f32 (utils.py:74-77) and torch's
+        # `coords1 + delta_flow` promotes to the model dtype, so under the
+        # fp64 parity harness coords ride f64 while under bf16 serving they
+        # stay f32. result_type(f32, img) reproduces exactly that.
+        acc_dtype = jnp.result_type(jnp.float32, img1.dtype)
+        coords_init = coords0.astype(acc_dtype)
 
-        lowres = []
-        up_mask = None
-        for _ in range(iters):
+        # All GRU iterations share the update block's params, so the iter
+        # loop runs as ONE nn.scan body — compile time O(1) in iters (the
+        # reference unrolls in torch where tracing is free; each unrolled
+        # iteration here replays the corr-lookup + GRU conv graph).
+        def step(mod, carry, _):
+            net_c, coords1 = carry
             coords1 = jax.lax.stop_gradient(coords1)  # raft.py:123 detach
             # coords/flow positions accumulate in fp32 even under bf16
             # compute; the update-block inputs follow the image dtype so
             # the GRU convs stay in the compute dtype.
             corr = corr_lookup(pyramid, coords1, radius).astype(img1.dtype)
             flow = (coords1 - coords0).astype(img1.dtype)
-            if self.small:
-                net, delta = update(net, inp, corr, flow)
+            if mod.small:
+                net_c, delta = mod.update_block(net_c, inp, corr, flow)
+                up_mask = jnp.zeros((), img1.dtype)  # unused on the small path
             else:
-                net, up_mask, delta = update(net, inp, corr, flow)
+                net_c, up_mask, delta = mod.update_block(net_c, inp, corr, flow)
             coords1 = coords1 + delta.astype(coords1.dtype)
-            if return_all:
-                lowres.append(coords1 - coords0)
+            return (net_c, coords1), (coords1 - coords0, up_mask)
 
-        if up_mask is None:
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False}, length=iters)
+        (_, coords1), (lowres, up_masks) = scan(self, (net, coords_init), None)
+
+        if self.small:
             flow_up = upflow8(coords1 - coords0)
         else:
-            flow_up = upsample_flow_convex(coords1 - coords0, up_mask)
+            flow_up = upsample_flow_convex(coords1 - coords0, up_masks[-1])
         if return_all:
-            return flow_up, jnp.stack(lowres)
+            return flow_up, lowres
         return flow_up

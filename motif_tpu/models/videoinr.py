@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from motif_tpu.models.layers import Conv2d, ResidualBlockNoBN, lrelu
+from motif_tpu.models.layers import Conv2d, ResBlocks, lrelu
 from motif_tpu.models.motif import liif_nearest_axis, make_coord_1d
 from motif_tpu.models.pcd import BiDeformableConvLSTM, PCDAlign
 from motif_tpu.models.siren import Siren
@@ -46,8 +46,7 @@ class VideoINR(nn.Module):
         # ---- gen_feat (Sakuya_arch.py:320-372): ZSM trunk ----
         flat = x.reshape(B * N, H, W, C)
         l1 = lrelu(Conv2d(nf, 3, 1, 1, name="conv_first")(flat))
-        for i in range(self.front_rbs):
-            l1 = ResidualBlockNoBN(nf, name=f"feature_extraction_{i}")(l1)
+        l1 = ResBlocks(nf, self.front_rbs, name="feature_extraction")(l1)
         l2 = lrelu(Conv2d(nf, 3, 2, 1, name="fea_L2_conv1")(l1))
         l2 = lrelu(Conv2d(nf, 3, 1, 1, name="fea_L2_conv2")(l2))
         l3 = lrelu(Conv2d(nf, 3, 2, 1, name="fea_L3_conv1")(l2))
@@ -70,8 +69,7 @@ class VideoINR(nn.Module):
         feats = BiDeformableConvLSTM(nf, self.groups, name="ConvBLSTM")(feats)
         B2, T, _, _, _ = feats.shape
         out = feats.reshape(B2 * T, H, W, nf)
-        for i in range(self.back_rbs):
-            out = ResidualBlockNoBN(nf, name=f"recon_trunk_{i}")(out)
+        out = ResBlocks(nf, self.back_rbs, name="recon_trunk")(out)
         feat_t = out.reshape(B, T, H, W, nf)
 
         # unused-but-checkpointed upsampling head (Sakuya_arch.py:302-306)

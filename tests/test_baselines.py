@@ -30,7 +30,8 @@ def test_zsm_forward(rng):
     out = m.apply({"params": p}, x)
     assert out.shape == (1, 3, 32, 32, 3)
     assert bool(jnp.isfinite(out).all())
-    assert "conv_first" in p and "recon_trunk_0" in p and "upconv1" in p
+    assert "conv_first" in p and "recon_trunk" in p and "upconv1" in p
+    assert p["recon_trunk"]["block"]["conv1"]["kernel"].shape[0] == 1
 
 
 def test_tmnet_forward(rng):

@@ -76,7 +76,11 @@ def test_motif_param_tree_names(tiny_motif):
     _, params, *_ = tiny_motif
     assert "flow_predictor" in params and "fnet" in params["flow_predictor"]
     assert "encoder" in params and "conv_first" in params["encoder"]
-    assert "recon_trunk_39" in params["encoder"]
+    # the 40 recon blocks run as one nn.scan with weights stacked on a
+    # leading axis (layers.py::ResBlocks); checkpoint.py restacks torch's
+    # recon_trunk.{i}.* keys into this layout
+    rt = params["encoder"]["recon_trunk"]["block"]
+    assert rt["conv1"]["kernel"].shape[0] == 40
     assert "flow_imnet" in params and "net_0" in params["flow_imnet"]
     assert "synth_net" in params and "net_4" in params["synth_net"]
     assert "flow_process_9" in params
