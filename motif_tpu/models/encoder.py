@@ -15,16 +15,22 @@ from motif_tpu.models.pcd import BiDeformableConvLSTM, PCDAlign
 
 class ZSMEncoder(nn.Module):
     channel: int = 64
+    # Reference depths (Ours.py:351,357: front_RBs=5, back_RBs=40); the
+    # multichip dryrun and tiny tests shrink these to bound 1-core CPU
+    # execution time without changing the op set or sharding semantics.
+    front_rbs: int = 5
+    back_rbs: int = 40
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         """x: (B, N, H, W, 3) input frames → (B, 2N-1, H, W, channel)."""
         B, N, H, W, C = x.shape
+        assert N >= 2, "ZSMEncoder needs >= 2 input frames (pairwise PCD)"
         nf = self.channel
         flat = x.reshape(B * N, H, W, C)
 
         l1 = lrelu(Conv2d(nf, 3, 1, 1, name="conv_first")(flat))
-        l1 = ResBlocks(nf, 5, name="feature_extraction")(l1)
+        l1 = ResBlocks(nf, self.front_rbs, name="feature_extraction")(l1)
         l2 = lrelu(Conv2d(nf, 3, 2, 1, name="fea_L2_conv1")(l1))
         l2 = lrelu(Conv2d(nf, 3, 1, 1, name="fea_L2_conv2")(l2))
         l3 = lrelu(Conv2d(nf, 3, 2, 1, name="fea_L3_conv1")(l2))
@@ -60,5 +66,5 @@ class ZSMEncoder(nn.Module):
                                                name="ConvBLSTM")(feats)
         B2, T, H2, W2, C2 = feats.shape
         out = feats.reshape(B2 * T, H2, W2, C2)
-        out = ResBlocks(nf, 40, name="recon_trunk")(out)
+        out = ResBlocks(nf, self.back_rbs, name="recon_trunk")(out)
         return out.reshape(B2, T, H2, W2, nf)

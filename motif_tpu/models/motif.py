@@ -87,6 +87,10 @@ class MoTIF(nn.Module):
     """
     setting: int = 5
     channel: int = 64
+    # encoder trunk depths (reference front_RBs=5 / back_RBs=40,
+    # Ours.py:351,357); shrunk only by the multichip dryrun / tiny tests
+    front_rbs: int = 5
+    back_rbs: int = 40
     groups: int = 1
     n_anchors: int = 2
     siren: bool = True
@@ -305,7 +309,8 @@ class MoTIF(nn.Module):
             flow_gt = jnp.zeros((n * B * N, HH, WW, 2), x.dtype)
 
         # ---- encoder (Ours.py:601-613 / Ours_44 residual-by-time) ----
-        feat_t = ZSMEncoder(ch, name="encoder")(cd(jnp.stack(frames, 1)))  # (B,2n-1,H,W,ch)
+        feat_t = ZSMEncoder(ch, self.front_rbs, self.back_rbs,
+                            name="encoder")(cd(jnp.stack(frames, 1)))  # (B,2n-1,H,W,ch)
         if n == 2:
             residual_t = jnp.repeat(
                 feat_t[:, feat_t.shape[1] // 2][:, None], N, axis=1)   # (B,N,H,W,ch)
@@ -683,7 +688,8 @@ class MoTIF(nn.Module):
             flow_gt = jnp.zeros((2 * B * N, HH, WW, 2), x.dtype)
 
         # encoder on the two anchors (Ours_7.py:560-566)
-        feat_t = ZSMEncoder(ch, name="encoder")(jnp.stack(frames, 1))
+        feat_t = ZSMEncoder(ch, self.front_rbs, self.back_rbs,
+                            name="encoder")(jnp.stack(frames, 1))
         residual_bn = feat_t[:, 1]                           # (B, H, W, ch)
         feat = jnp.concatenate([feat_t[:, 0], feat_t[:, 2]], 0)
 
