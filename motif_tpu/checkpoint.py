@@ -93,22 +93,25 @@ def port_torch_state_dict(state_dict: Mapping[str, Any],
 
 def upgrade_param_layout(tree):
     """Rewrite a ported torch tree (or an old-layout native orbax tree) into
-    this package's parameter layout: stacked pcd_h/pcd_c pairs and stacked
-    scanned residual-block families."""
-    return _stack_scanned_blocks(_stack_pcd_pairs(tree))
+    this package's parameter layout: separate pcd_h/pcd_c (unstacking any
+    interim stacked 'pcd_hc' trees) and stacked scanned residual-block
+    families."""
+    return _stack_scanned_blocks(_unstack_pcd_pairs(tree))
 
 
-def _stack_pcd_pairs(tree):
-    """The torch DeformableConvLSTM holds separate pcd_h / pcd_c EasyPCD
-    stacks (reference Ours.py:230-231); this package runs them as ONE
-    nn.vmap'd module 'pcd_hc' whose params carry a leading [h, c] axis
-    (models/pcd.py::DeformableConvLSTM). Stack the two ported subtrees."""
+def _unstack_pcd_pairs(tree):
+    """DeformableConvLSTM keeps the reference's separate pcd_h / pcd_c
+    EasyPCD stacks (Ours.py:230-231) — torch trees map 1:1. An interim
+    layout stacked them as one 'pcd_hc' subtree with a leading [h, c] axis
+    (the vmapped fold was later reverted: ~26% slower on v5e); checkpoints
+    saved in that window are unstacked here."""
     if not isinstance(tree, dict):
         return tree
-    if "pcd_h" in tree and "pcd_c" in tree:
-        h, c = tree.pop("pcd_h"), tree.pop("pcd_c")
-        tree["pcd_hc"] = jax.tree.map(lambda a, b: jnp.stack([a, b]), h, c)
-    return {k: _stack_pcd_pairs(v) for k, v in tree.items()}
+    if "pcd_hc" in tree and "pcd_h" not in tree:
+        hc = tree.pop("pcd_hc")
+        tree["pcd_h"] = jax.tree.map(lambda a: a[0], hc)
+        tree["pcd_c"] = jax.tree.map(lambda a: a[1], hc)
+    return {k: _unstack_pcd_pairs(v) for k, v in tree.items()}
 
 
 # Residual-block stacks that run as ONE nn.scan body with the per-block

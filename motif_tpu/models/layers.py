@@ -166,12 +166,23 @@ class _ResBlockScanStep(nn.Module):
         return x + conv2(jax.nn.relu(conv1(x))), None
 
 
+def scan_unroll(n: int) -> int:
+    """lax.scan unroll factor for the stacked-weight trunk scans: full unroll
+    on accelerators (XLA fuses/pipelines the straight-line graph — the rolled
+    scan form measured ~15% slower end-to-end on v5e), rolled on CPU where
+    the 40-deep unrolled optimization pass dominates cold compile on a
+    1-core box (the multichip-driver-timeout fix). Same math and the same
+    stacked param layout either way — only the lax.scan unroll knob."""
+    return n if jax.default_backend() != "cpu" else 1
+
+
 class ResBlocks(nn.Module):
     """A stack of n ResidualBlockNoBN compiled as ONE lax.scan body with the
     per-block weights stacked on a leading axis — numerically identical to n
-    unrolled blocks but with O(1)-in-depth compile time (the reference's
+    unrolled blocks but with O(1)-in-depth trace time (the reference's
     make_layer Sequential, module_util.py:27-31, unrolls in torch where
-    tracing is free; under XLA a 40-deep unroll dominates compile).
+    tracing is free); on accelerators the scan is fully unrolled again for
+    runtime (see scan_unroll).
 
     Param layout: <name>/block/conv{1,2}/{kernel,bias} with leading axis
     n_blocks; checkpoint.py::_stack_scanned_blocks restacks torch's
@@ -187,6 +198,7 @@ class ResBlocks(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.n_blocks,
+            unroll=scan_unroll(self.n_blocks),
         )(self.nf, name="block")
         y, _ = scan(x, None)
         return y

@@ -171,16 +171,22 @@ class MoTIF(nn.Module):
         G = self.groups
         ch = self.channel
         n = self.n_anchors
-        # The released reference model uses groups=1 (Ours.py:449); the G>1
-        # channel-split quirks of Ours.py:783-791 are not reproduced.
-        if G != 1:
+        # G>1 reproduces the channel-split math of Ours.py:783-791: the
+        # STINF output is read in per-group (flow_x, flow_y, z) slices, the
+        # SINF/feat_low features are split into G channel groups, each group
+        # splats with its own flow, and the groups' warped channels are
+        # re-concatenated for the synth net. NB the reference's own G>1 is
+        # dead code that would CRASH upstream (the hardcoded synth_net
+        # in_features 192+5G at Ours.py:476,487 mismatches the actual concat
+        # width for any G>=2) — flax infers in_features lazily, so this
+        # build executes the Ours.py:783-791 math where the reference
+        # cannot. Every reference config and best.pth use groups=1
+        # (Ours.py:449). The fused-decode/warp_to_many layouts assume G=1.
+        if G != 1 and (self.fused_decode or self.warp_to_many):
             raise NotImplementedError(
-                "MoTIF groups>1 is not supported: every reference config and "
-                "the released best.pth use groups=1 (Ours.py:449); the G>1 "
-                "channel-split path (Ours.py:783-791) reads the SINF output "
-                "in per-group slices and is untested upstream. Set "
-                "network_G.groups: 1 (NB the yml 'groups: 8' field is the "
-                "PCD deformable-conv group count, not this).")
+                "MoTIF groups>1 is only supported with fused_decode=False "
+                "and warp_to_many=False (the fused splat-payload fold and "
+                "the warp_to_many merge, Ours.py:819-824, assume G=1).")
         assert n in (2, 4)
         # anchor time positions / rsd divisor (Ours.py:615-621 [0,8]/8;
         # Ours_44.py [0,2,4,6]/6)
@@ -514,7 +520,18 @@ class MoTIF(nn.Module):
         # ---- HR flow / z / features (Ours.py:783-797) ----
         # flow values and the splat run in fp32 even under compute_dtype
         # (sub-pixel positions + scatter accumulation are precision-bearing).
-        flow_raw = cf(q_flow_o).reshape(n * B * N * G, HH, WW, 3)
+        def split_groups(a, k):
+            # NHWC equivalent of the reference's NCHW channel-split reshape
+            # (Ours.py:783): (M,HH,WW,G*k) -> (M*G,HH,WW,k); group g takes
+            # channel slice [g*k:(g+1)*k]. A bare NHWC reshape would
+            # interleave pixels, so G>1 needs the explicit transpose.
+            M = a.shape[0]
+            if G == 1:
+                return a.reshape(M, HH, WW, k)
+            return (a.reshape(M, HH, WW, G, k).transpose(0, 3, 1, 2, 4)
+                    .reshape(M * G, HH, WW, k))
+
+        flow_raw = split_groups(cf(q_flow_o), 3)
         if use_fused:
             # Fold synth_net.net_0 through the splat (fused_decode point 2):
             # scatter-add is linear in its payload, so projecting the 130-ch
@@ -540,13 +557,18 @@ class MoTIF(nn.Module):
                 "bhwc,cd->bhwd", jax.lax.stop_gradient(flow_raw[..., :2]),
                 ws_raw[64:66].astype(flow_raw.dtype))   # (nBN,HH,WW,64)
         else:
+            # Each group g sees its channel slice of q_feat / q_feat_low
+            # repeated per target time (Ours.py:789-791: channel-tile by N
+            # then the NCHW batch reshape => batch (dir,b,t,g) gets channels
+            # [g*c/G:(g+1)*c/G]).
+            def rep_split(a, c):      # (nB,HH,WW,c) -> (nBNG,HH,WW,c//G)
+                return split_groups(jnp.repeat(a, N, axis=0), c // G)
+
             feat_hr = jnp.concatenate([
-                cf(jnp.repeat(q_feat_o, N, axis=0))
-                   .reshape(n, B, N, HH, WW, 64).reshape(n * B * N * G, HH, WW, 64),
+                rep_split(cf(q_feat_o), 64),
                 jax.lax.stop_gradient(flow_raw[..., :2]),
-                cf(jnp.repeat(q_feat_low, N, axis=0))
-                   .reshape(n, B, N, HH, WW, ch).reshape(n * B * N * G, HH, WW, ch),
-            ], axis=-1)                                             # (nBNG,HH,WW,130)
+                rep_split(cf(q_feat_low), ch),
+            ], axis=-1)                                 # (nBNG,HH,WW,130//G+2-ish)
 
         flow_hr = flow_raw[..., :2] * 20.0 * (HH / H)
         z = jax.nn.relu(flow_raw[..., 2:3]) * alpha
@@ -554,10 +576,12 @@ class MoTIF(nn.Module):
             z = jnp.zeros_like(z)
 
         # ---- splat (Ours.py:799-806) ----
-        if use_gt:
-            splat_flow = jnp.repeat(flow_gt, G, axis=0).reshape(n * B * N * G, HH, WW, 2)
-        else:
-            splat_flow = flow_hr
+        # Every group shares the same GT flow (Ours.py:788: channel-tile by
+        # G then the batch reshape). Repeating here also makes the returned
+        # flow_gt_norm line up with the (nBNG,...) flow_norm for the loss.
+        if G > 1 and (train or use_gt):
+            flow_gt = jnp.repeat(flow_gt, G, axis=0)
+        splat_flow = flow_gt if use_gt else flow_hr
         # z = relu(x)*alpha is <= 0 whenever alpha <= 0 (and z == 0 when
         # predict_Z is off), making the max-splat identically 1 — an exact
         # runtime shortcut (see splat_fused docstring).
@@ -607,13 +631,23 @@ class MoTIF(nn.Module):
             flow_gt_norm = flow_gt / 20.0 / (HH / H)
             return frames, flow_norm, flow_gt_norm
 
+        def merge_groups(a):
+            # (BNG,HH,WW,c) -> (BN,HH,WW,G*c): re-concatenate the groups'
+            # warped channels, groups-major (the reference's NCHW
+            # output.reshape(B*N,-1,HH,WW), Ours.py:841).
+            if G == 1:
+                return a.reshape(B * N, HH, WW, -1)
+            c = a.shape[-1]
+            return (a.reshape(B * N, G, HH, WW, c).transpose(0, 2, 3, 1, 4)
+                    .reshape(B * N, HH, WW, G * c))
+
         res_rep = q_residual.reshape(B * N, HH, WW, -1)  # already per-time
         tmap = cd(target_t.reshape(B * N, 1, 1, 1)
                   * jnp.ones((1, HH, WW, 1), x.dtype))
         if not self.warp_to_many:
             synth_in = jnp.concatenate([
-                cd(output).reshape(B * N, HH, WW, -1),
-                cd(extra).reshape(B * N, HH, WW, -1),
+                merge_groups(cd(output)),
+                merge_groups(cd(extra)),
                 res_rep, tmap], -1)
         else:
             synth_in = jnp.concatenate([

@@ -177,18 +177,13 @@ class DeformableConvLSTM(nn.Module):
     def setup(self):
         # The reference's pcd_h and pcd_c (Ours.py:230-231) are two
         # independent EasyPCD stacks applied to (xt, h) and (xt, c) at every
-        # recurrent step. They are data-independent within a step and the
-        # step graph is latency-bound at PCD sizes (B→2B is near-free on
-        # v5e), so both stacks ride ONE vmapped call: params carry a leading
-        # [h, c] axis of 2 and every conv/DCN becomes a single grouped op.
-        # The torch-port bridge stacks pcd_h/pcd_c into this layout
-        # (checkpoint.py::_stack_pcd_pairs).
-        self.pcd_hc = nn.vmap(
-            EasyPCD,
-            in_axes=0, out_axes=0,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-        )(self.nf, self.groups)
+        # recurrent step. Kept as SEPARATE modules (same param tree as the
+        # torch side): an nn.vmap'd fold with a leading [h, c] param axis
+        # measured 26% SLOWER on v5e (per-entry conv weights defeat XLA's
+        # conv batching — 65.7 vs 52.2 ms for the T=3 BiLSTM), and a shared
+        # batch-fold is throughput-bound too at these sizes.
+        self.pcd_h = EasyPCD(self.nf, self.groups)
+        self.pcd_c = EasyPCD(self.nf, self.groups)
         self.cell_list_0 = ConvLSTMCell(self.nf, self.kernel_size)
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -199,12 +194,13 @@ class DeformableConvLSTM(nn.Module):
 
         def step(mod, carry, xt):
             h, c = carry
-            hc = mod.pcd_hc(jnp.stack([xt, xt]), jnp.stack([h, c]))
-            h2, c2 = mod.cell_list_0(xt, (hc[0], hc[1]))
+            h2, c2 = mod.cell_list_0(xt, (mod.pcd_h(xt, h), mod.pcd_c(xt, c)))
             return (h2, c2), h2
 
+        from motif_tpu.models.layers import scan_unroll
         scan = nn.scan(step, variable_broadcast="params",
-                       split_rngs={"params": False}, in_axes=1, out_axes=1)
+                       split_rngs={"params": False}, in_axes=1, out_axes=1,
+                       unroll=scan_unroll(T))
         _, outs = scan(self, (h0, c0), x)
         return outs
 

@@ -346,8 +346,10 @@ class RAFT(nn.Module):
             coords1 = coords1 + delta.astype(coords1.dtype)
             return (net_c, coords1), (coords1 - coords0, up_mask)
 
+        from motif_tpu.models.layers import scan_unroll
         scan = nn.scan(step, variable_broadcast="params",
-                       split_rngs={"params": False}, length=iters)
+                       split_rngs={"params": False}, length=iters,
+                       unroll=scan_unroll(iters))
         (_, coords1), (lowres, up_masks) = scan(self, (net, coords_init), None)
 
         if self.small:

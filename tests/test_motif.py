@@ -53,6 +53,39 @@ def test_motif_forward_shapes(tiny_motif):
     assert frames.min() >= 0.0 and frames.max() <= 1.0
 
 
+def test_motif_groups2_channel_split():
+    """groups>1 (Ours.py:783-791): per-group STINF flow slices, per-group
+    feature splats, groups re-concatenated for synth. The reference's own
+    G>1 would crash upstream (hardcoded synth in_features); this build runs
+    the same math with lazily-inferred dims — check shapes, finiteness, and
+    the G-factored flow batch, in fwd and teacher-forced train mode."""
+    model = MoTIF(setting=5, groups=2, front_rbs=1, back_rbs=2)
+    B, N_in, H, W, HH, WW = 1, 4, 16, 16, 64, 64
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((B, N_in, H, W, 3), dtype=np.float32))
+    tt = jnp.asarray([[0.5, 1.0]], dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, tt, (HH, WW), iters=1)["params"]
+
+    frames, flow, flow_gt = model.apply({"params": params}, x, tt, (HH, WW),
+                                        iters=1)
+    N, G = tt.shape[1], 2
+    assert frames.shape == (N, B, HH, WW, 3)
+    assert flow.shape == (2 * B * N * G, HH, WW, 2)
+    assert np.all(np.isfinite(np.asarray(frames)))
+
+    # teacher-forced train path: flow_gt must be repeated per group so the
+    # flow loss lines up with the (nBNG,...) flow prediction (Ours.py:788)
+    tf = jnp.asarray(rng.random((B, N + 2, HH, WW, 3), dtype=np.float32))
+    _, flow_t, flow_gt_t = model.apply(
+        {"params": params}, x, tt, (HH, WW), iters=1, use_gt=True, train=True,
+        target_frames=tf)
+    assert flow_t.shape == flow_gt_t.shape == (2 * B * N * G, HH, WW, 2)
+
+    with pytest.raises(NotImplementedError):
+        MoTIF(setting=5, groups=2, fused_decode=True).apply(
+            {"params": params}, x, tt, (HH, WW), iters=1)
+
+
 @pytest.mark.slow
 def test_motif_jit_and_train_path(tiny_motif):
     model, params, x, tt, out_hw = tiny_motif
@@ -88,7 +121,7 @@ def test_motif_param_tree_names(tiny_motif):
     pcd = params["encoder"]["pcd_align"]
     assert "L3_dcnpack_1" in pcd and "conv_offset_mask" in pcd["L3_dcnpack_1"]
     lstm = params["encoder"]["ConvBLSTM"]["forward_net"]
-    assert "cell_list_0" in lstm and "pcd_hc" in lstm
+    assert "cell_list_0" in lstm and "pcd_h" in lstm and "pcd_c" in lstm
 
 
 @pytest.mark.slow
