@@ -224,7 +224,8 @@ def _splat_max_scan(ez, flow, dtype):
 
 def splat_fused(img: jax.Array, flow: jax.Array, z: jax.Array,
                 z_nonpositive: jax.Array | None = None,
-                method: str = "scan", scatter_dtype=None):
+                method: str = "scan", scatter_dtype=None,
+                pallas_max_dy: int = 32, pallas_interpret: bool = False):
     """Fused softmax-splat + max-splat + count-splat sharing one corner
     computation (the reference launches three CuPy kernels; Ours.py:799-806).
 
@@ -244,12 +245,31 @@ def splat_fused(img: jax.Array, flow: jax.Array, z: jax.Array,
     of the splat cost in practice.
 
     method: 'scan' (memory-lean, 4 sequential corner scatters — the
-    training default) or 'base' (one scatter row per source pixel + dense
-    shift-combine, ~4x fewer scatter rows but ~4x live memory — the
-    inference backend; see _splat_fused_base).
+    training default), 'base' (one scatter row per source pixel + dense
+    shift-combine, ~4x fewer scatter rows but ~4x live memory), or 'pallas'
+    (ring-sweep MXU-placement kernel, ops/softsplat_pallas.py — the fastest
+    serving backend; inference-only, exact XLA fallback via lax.cond when
+    any pixel's vertical reach exceeds ±pallas_max_dy).
     """
     B, H, W, C = img.shape
     ez = jnp.exp(z)
+
+    if method == "pallas":
+        from motif_tpu.ops.softsplat_pallas import splat_fused_pallas
+
+        out, norm, count = splat_fused_pallas(
+            img, flow, z, max_dy=pallas_max_dy,
+            compute_dtype=scatter_dtype, interpret=pallas_interpret)
+
+        if z_nonpositive is None:
+            z_max = _splat_max_scan(ez, flow, img.dtype)
+        else:
+            z_max = jax.lax.cond(
+                z_nonpositive,
+                lambda _: jnp.ones((B, H, W, 1), img.dtype),
+                lambda _: _splat_max_scan(ez, flow, img.dtype), operand=None)
+        return (out, norm, jax.lax.stop_gradient(z_max),
+                jax.lax.stop_gradient(count))
 
     if method == "base":
         out, norm, count = _splat_fused_base(img, flow, z, ez,
