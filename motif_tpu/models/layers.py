@@ -166,13 +166,29 @@ class _ResBlockScanStep(nn.Module):
         return x + conv2(jax.nn.relu(conv1(x))), None
 
 
+_SCAN_UNROLL_OVERRIDE: str | None = None
+
+
+def set_scan_unroll(mode: str | None) -> None:
+    """Override the trunk-scan unroll policy for graphs whose target backend
+    differs from the process default (e.g. AOT-lowering a TPU program on a
+    CPU host): 'full' always unrolls, 'rolled' never does, None restores the
+    default keyed off jax.default_backend()."""
+    global _SCAN_UNROLL_OVERRIDE
+    assert mode in (None, "full", "rolled"), mode
+    _SCAN_UNROLL_OVERRIDE = mode
+
+
 def scan_unroll(n: int) -> int:
     """lax.scan unroll factor for the stacked-weight trunk scans: full unroll
     on accelerators (XLA fuses/pipelines the straight-line graph — the rolled
     scan form measured ~15% slower end-to-end on v5e), rolled on CPU where
     the 40-deep unrolled optimization pass dominates cold compile on a
     1-core box (the multichip-driver-timeout fix). Same math and the same
-    stacked param layout either way — only the lax.scan unroll knob."""
+    stacked param layout either way — only the lax.scan unroll knob.
+    Cross-backend lowering can pin the choice via set_scan_unroll()."""
+    if _SCAN_UNROLL_OVERRIDE is not None:
+        return n if _SCAN_UNROLL_OVERRIDE == "full" else 1
     return n if jax.default_backend() != "cpu" else 1
 
 

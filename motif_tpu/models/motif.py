@@ -577,9 +577,12 @@ class MoTIF(nn.Module):
 
         # ---- splat (Ours.py:799-806) ----
         # Every group shares the same GT flow (Ours.py:788: channel-tile by
-        # G then the batch reshape). Repeating here also makes the returned
-        # flow_gt_norm line up with the (nBNG,...) flow_norm for the loss.
-        if G > 1 and (train or use_gt):
+        # G then the batch reshape). Repeat unconditionally for G > 1 so the
+        # returned flow_gt_norm always lines up with the (nBNG,...)
+        # flow_norm — at pure eval flow_gt is all-zeros and the repeat is
+        # semantically free, but a shape mismatch would break any eval-time
+        # flow metric.
+        if G > 1:
             flow_gt = jnp.repeat(flow_gt, G, axis=0)
         splat_flow = flow_gt if use_gt else flow_hr
         # z = relu(x)*alpha is <= 0 whenever alpha <= 0 (and z == 0 when

@@ -300,6 +300,7 @@ def splat_violation(flow: jax.Array, max_dy: int) -> jax.Array:
     return jnp.any(in_grid & (jnp.abs(y0 - gy) > max_dy))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def splat_fused_pallas(img, flow, z, max_dy: int = 32,
                        compute_dtype=None, interpret: bool = False):
     """Fused softmax+count splat, Pallas fast path with an exact XLA
@@ -308,16 +309,15 @@ def splat_fused_pallas(img, flow, z, max_dy: int = 32,
 
     Same contract as ops.softsplat._splat_fused_base: returns
     (out, norm, count) with out = splat_sum(img * e^z), norm =
-    splat_sum(e^z), count = unweighted corner hits. Inference-only
-    (no VJP) — training uses the autodiff scatter backends.
+    splat_sum(e^z), count = unweighted corner hits. Inference-only:
+    differentiating through it raises (custom_vjp below) instead of
+    silently zeroing upstream gradients — training uses the autodiff
+    scatter backends ('scan'/'base').
     """
     from motif_tpu.ops.softsplat import _splat_fused_base
 
     B, H, W, C = img.shape
     ez = jnp.exp(z)
-    img = jax.lax.stop_gradient(img)
-    flow = jax.lax.stop_gradient(flow)
-    ez = jax.lax.stop_gradient(ez)
 
     if (H % ROWS_PER_STEP != 0
             or _ring_vmem_bytes(W, C, max_dy, compute_dtype, img.dtype)
@@ -336,3 +336,18 @@ def splat_fused_pallas(img, flow, z, max_dy: int = 32,
 
     return jax.lax.cond(splat_violation(flow, max_dy), slow, fast,
                         (img, flow, ez))
+
+
+def _splat_pallas_vjp_fwd(img, flow, z, max_dy, compute_dtype, interpret):
+    return splat_fused_pallas(img, flow, z, max_dy, compute_dtype,
+                              interpret), None
+
+
+def _splat_pallas_vjp_bwd(max_dy, compute_dtype, interpret, res, g):
+    raise NotImplementedError(
+        "splat_method='pallas' is inference-only: the ring-sweep kernel has "
+        "no VJP. Train with splat_method='scan' (memory-lean) or 'base' "
+        "(autodiff scatter) — see ops/softsplat.py::splat_fused.")
+
+
+splat_fused_pallas.defvjp(_splat_pallas_vjp_fwd, _splat_pallas_vjp_bwd)

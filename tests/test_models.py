@@ -40,6 +40,9 @@ def test_siren_parity(rng):
         def forward(self, x):
             return self.net(x)
 
+    # seed the torch default RNG: TSiren's Linear inits draw from it, and an
+    # unseeded draw makes the fixed tolerance flaky (VERDICT r4 weak #6).
+    torch.manual_seed(0)
     t = TSiren(67, [64, 64, 256], 3)
     x = rng.standard_normal((2, 11, 67)).astype(np.float32)
     want = t(torch.from_numpy(x)).detach().numpy()
