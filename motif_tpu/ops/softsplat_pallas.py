@@ -63,7 +63,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROWS_PER_STEP = 8  # source rows per grid step == output block rows
-_VMEM_RING_BUDGET = 12 * 1024 * 1024  # fall back to XLA beyond this
+# Mosaic's scoped-vmem limit is 16 MiB; the kernel's footprint is the ring
+# scratch PLUS the double-buffered pipeline blocks (vals/ut/vt in, out
+# block out). Measured on v5e: fp32 ring 10.7 MB + blocks = 17.75 MB ->
+# hard compile error (r5), so the budget models the whole footprint with
+# ~1 MB headroom rather than the ring alone.
+_VMEM_SCOPED_LIMIT = 15 * 1024 * 1024  # fall back to XLA beyond this
 
 
 def _cdiv(a, b):
@@ -276,16 +281,26 @@ def _splat_pallas_fast(img: jax.Array, flow: jax.Array, ez: jax.Array,
     return inner[..., :C], inner[..., C:C + 1], inner[..., C + 1:C + 2]
 
 
-def _ring_vmem_bytes(W, C, max_dy, compute_dtype, img_dtype):
+def _kernel_vmem_bytes(W, C, max_dy, compute_dtype, img_dtype):
+    """Total scoped-VMEM footprint: ring scratch + double-buffered pipeline
+    blocks (Mosaic pads the minor dim to 128 lanes, the next-minor to 8
+    sublanes)."""
     D = max_dy
     LAG = _cdiv(D - 1, ROWS_PER_STEP)
     RING = _round8(8 * LAG + D + 10)
+    K = _round8(W)
     LANES = _round8(W + 3)
     cdt = jnp.dtype(compute_dtype) if compute_dtype is not None else \
         jnp.dtype(img_dtype)
     acc = jnp.dtype(jnp.float32) if (D <= 16 or cdt == jnp.float32) else cdt
-    lanes_pad = _cdiv(C + 2, 128) * 128
-    return RING * LANES * lanes_pad * acc.itemsize
+    out_dt = jnp.dtype(img_dtype)
+    cp_pad = _cdiv(C + 2, 128) * 128
+    k_pad = _cdiv(K, 128) * 128
+    ring = RING * LANES * cp_pad * acc.itemsize
+    vals_blk = ROWS_PER_STEP * K * cp_pad * cdt.itemsize
+    flow_blk = 2 * ROWS_PER_STEP * 8 * k_pad * 4          # ut + vt, f32
+    out_blk = ROWS_PER_STEP * LANES * cp_pad * out_dt.itemsize
+    return ring + 2 * (vals_blk + flow_blk + out_blk)
 
 
 def splat_violation(flow: jax.Array, max_dy: int) -> jax.Array:
@@ -320,8 +335,8 @@ def splat_fused_pallas(img, flow, z, max_dy: int = 32,
     ez = jnp.exp(z)
 
     if (H % ROWS_PER_STEP != 0
-            or _ring_vmem_bytes(W, C, max_dy, compute_dtype, img.dtype)
-            > _VMEM_RING_BUDGET):
+            or _kernel_vmem_bytes(W, C, max_dy, compute_dtype, img.dtype)
+            > _VMEM_SCOPED_LIMIT):
         return _splat_fused_base(img, flow, None, ez)
 
     def fast(args):
