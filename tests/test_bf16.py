@@ -17,6 +17,7 @@ import pytest
 from motif_tpu.models.motif import MoTIF
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_anchors", [2])
 def test_bf16_matches_fp32(n_anchors):
     rng = np.random.default_rng(0)
@@ -43,6 +44,7 @@ def test_bf16_matches_fp32(n_anchors):
     assert fdiff < 6e-2, f"bf16 flow diverges: max abs {fdiff}"
 
 
+@pytest.mark.slow
 def test_fused_decode_matches_reference_path():
     """fused_decode folds the STINF/SINF first layers through the LIIF
     nearest-upsample — exact math, float ops reordered. Same params must
@@ -106,3 +108,22 @@ def test_fused_decode_grad_matches():
         scale = float(jnp.max(jnp.abs(a))) + 1e-12
         d = float(jnp.max(jnp.abs(a - b))) / scale
         assert d < 5e-3, f"grad mismatch in {key}: rel {d}"
+
+
+def test_bf16_and_fused_smoke_tiny():
+    """Fast-lane smoke (the full-size bf16/fused parity gates are slow-lane,
+    ~5 min of XLA compiles on this 1-core box): tiny model, all serving
+    knobs on, output finite + close to the fp32 reference-order path."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 4, 16, 16, 3), dtype=np.float32))
+    tt = jnp.asarray([[0.3, 0.7]], dtype=jnp.float32)
+    m0 = MoTIF(setting=5, channel=8, front_rbs=1, back_rbs=1)
+    m1 = MoTIF(setting=5, channel=8, front_rbs=1, back_rbs=1,
+               compute_dtype="bfloat16", fused_decode=True,
+               splat_method="base", splat_dtype="float16")
+    params = m0.init(jax.random.PRNGKey(0), x, tt, (64, 64), iters=1)["params"]
+    f0, _, _ = m0.apply({"params": params}, x, tt, (64, 64), iters=1)
+    f1, _, _ = m1.apply({"params": params}, x, tt, (64, 64), iters=1)
+    assert f1.dtype == jnp.float32
+    assert bool(jnp.isfinite(f1).all())
+    assert float(jnp.max(jnp.abs(f1 - f0))) < 6e-2

@@ -56,6 +56,15 @@ def test_multichip_dryrun_driver_budget():
     warm run the driver will actually see (~65 s, gate 120 s)."""
     import subprocess, sys, time
 
+    # cache guard (VERDICT r4 #4): with no persistent compile cache the
+    # first run is a ~190 s cold compile that blows the 5-minute fast-lane
+    # budget for everyone; the cold path belongs to the slow lane / the
+    # driver itself. A warmed cache exists on any box that ran this once.
+    cache = os.path.expanduser("~/.jax_cache_cpu")
+    if not (os.path.isdir(cache) and os.listdir(cache)):
+        pytest.skip("no warmed CPU compile cache at ~/.jax_cache_cpu — "
+                    "run `make test-all` once to warm it")
+
     cmd = [sys.executable, "-c",
            "import __graft_entry__ as g; g.dryrun_multichip(8)"]
     env = dict(os.environ)

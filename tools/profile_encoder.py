@@ -37,7 +37,7 @@ def main():
     from flax import linen as nn
 
     from motif_tpu.models.encoder import ZSMEncoder
-    from motif_tpu.models.layers import Conv2d, ResidualBlockNoBN, lrelu
+    from motif_tpu.models.layers import Conv2d, ResBlocks, lrelu
     from motif_tpu.models.pcd import BiDeformableConvLSTM, PCDAlign
     from motif_tpu.ops.dcn import dcn_v2
 
@@ -62,13 +62,12 @@ def main():
         report[f"encoder_full_{tag}"] = timeit(
             jax.jit(lambda p, a: enc.apply({"params": p}, a)), params, xx)
 
-        # front: conv_first + 5 RBs + pyramid convs
+        # front: conv_first + 5 RBs + pyramid convs (r4 scan-stacked layout)
         class Front(nn.Module):
             @nn.compact
             def __call__(self, f):
                 l1 = lrelu(Conv2d(nf, 3, 1, 1, name="conv_first")(f))
-                for i in range(5):
-                    l1 = ResidualBlockNoBN(nf, name=f"feature_extraction_{i}")(l1)
+                l1 = ResBlocks(nf, 5, name="feature_extraction")(l1)
                 l2 = lrelu(Conv2d(nf, 3, 2, 1, name="fea_L2_conv1")(l1))
                 l2 = lrelu(Conv2d(nf, 3, 1, 1, name="fea_L2_conv2")(l2))
                 l3 = lrelu(Conv2d(nf, 3, 2, 1, name="fea_L3_conv1")(l2))
@@ -97,13 +96,11 @@ def main():
             jax.jit(lambda p, a: lstm.apply({"params": p}, a)),
             params["ConvBLSTM"], seq)
 
-        # recon trunk: 40 RBs at (3, H, W, nf)
+        # recon trunk: 40 RBs at (3, H, W, nf) (r4 scan-stacked layout)
         class Trunk(nn.Module):
             @nn.compact
             def __call__(self, f):
-                for i in range(40):
-                    f = ResidualBlockNoBN(nf, name=f"recon_trunk_{i}")(f)
-                return f
+                return ResBlocks(nf, 40, name="recon_trunk")(f)
 
         trunk = Trunk()
         tin = jnp.asarray(rng.random((3 * B, H, W, nf), dtype=np.float32), dt)
