@@ -40,6 +40,9 @@ def define_g(opt: dict):
     spm = opt.get("splat_method") or "scan"
     rres = float(opt.get("raft_resolution") or 1.0)
     sdt = opt.get("splat_dtype") or None
+    # decode_chunks: the reference's query-thirds LIIF memory bound
+    # (Sakuya_arch.py:486-599) as a token-axis chunk count (exact math).
+    dchunks = int(opt.get("decode_chunks") or 1)
     if which == "Ours_7":
         # first-two-anchor, linear-motion fork with hardcoded flags
         # (Ours_7.py:440-448) — equivalent to setting=3
@@ -51,7 +54,8 @@ def define_g(opt: dict):
         n_anchors = 4 if which in ("Ours_44", "Ours_4") else 2
         return MoTIF(setting=setting, channel=nf, n_anchors=n_anchors,
                      compute_dtype=cdt, fused_decode=fused, splat_method=spm,
-                     raft_resolution=rres, splat_dtype=sdt)
+                     raft_resolution=rres, splat_dtype=sdt,
+                     decode_chunks=dchunks)
     if which == "LIIF":
         return VideoINR(nf=nf, front_rbs=front, back_rbs=back, groups=groups)
     if which in ("ZSM", "Zooming"):

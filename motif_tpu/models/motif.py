@@ -63,6 +63,24 @@ def liif_nearest_axis(src: int, dst: int, eps: float = 1e-6):
     return idx.astype(np.int32), rel
 
 
+def _chunked_tokens(net, toks: jax.Array, chunks: int) -> jax.Array:
+    """Apply a per-token network over the token axis in `chunks` pieces.
+
+    The reference bounds test-time LIIF memory by splitting the HR query
+    grid into thirds and decoding each piece separately
+    (models/modules/Sakuya_arch.py:486-599). The SIRENs here are pointwise
+    over tokens, so splitting the token axis is exact math — it only bounds
+    the live (tokens, 256)-wide hidden activations. chunks<=1 is the
+    single-program default (XLA already schedules for minimal live memory;
+    the knob is the escape hatch for very large HR outputs)."""
+    T = toks.shape[1]
+    if chunks <= 1 or T <= chunks:
+        return net(toks)
+    c = -(-T // chunks)
+    return jnp.concatenate(
+        [net(toks[:, i:i + c]) for i in range(0, T, c)], axis=1)
+
+
 def _gauss_blur_reflect(x: jax.Array) -> jax.Array:
     """3x3 gaussian ([1,2,1]⊗[1,2,1]/16) with reflect padding — the fixed
     g_filter conv (Ours.py:443-445, applied :572-577). x: (B, H, W, C)."""
@@ -129,6 +147,10 @@ class MoTIF(nn.Module):
     # and the parity default. Only affects the live-RAFT path (precomputed
     # flows bypass it).
     raft_resolution: float = 1.0
+    # Decode the HR LIIF/SIREN token MLPs in this many token-axis chunks —
+    # the reference's query-thirds memory bound (Sakuya_arch.py:486-599),
+    # exact math (the SIRENs are pointwise over tokens). 1 = single program.
+    decode_chunks: int = 1
     # Mixed-precision compute: None keeps every stage in the input dtype
     # (fp32/fp64 — the parity configuration). "bfloat16" runs the conv
     # trunk, RAFT, LIIF gathers and SIRENs in bf16 (half the HBM traffic,
@@ -445,14 +467,17 @@ class MoTIF(nn.Module):
             h0 = rep_n(up(jnp.einsum("bhwc,cd->bhwd", flow_feat, wq[:ch])))
             h0 = h0 + t_tokens * wq[ch] \
                 + jnp.einsum("bhwc,cd->bhwd", rel, wq[ch + 1:]) + bq
-            sti_out = flow_imnet(h0.reshape(n * B * N, HH * WW, -1))
+            sti_out = _chunked_tokens(
+                flow_imnet, h0.reshape(n * B * N, HH * WW, -1),
+                self.decode_chunks)
 
             # SINF pre-activation: rows [feat(ch) | rel(2)] (Ours.py:731-733).
             wi = cd(pvars["imnet"]["net_0"]["linear"]["kernel"])
             bi = cd(pvars["imnet"]["net_0"]["linear"]["bias"])
             g0 = up(jnp.einsum("bhwc,cd->bhwd", feat, wi[:ch]))
             g0 = g0 + jnp.einsum("bhwc,cd->bhwd", rel, wi[ch:]) + bi
-            si_out = imnet(g0.reshape(n * B, HH * WW, -1))
+            si_out = _chunked_tokens(
+                imnet, g0.reshape(n * B, HH * WW, -1), self.decode_chunks)
 
             q_feat_o = si_out.reshape(n * B, HH, WW, 64)
             # q_feat_low / q_residual are not materialized at HR here: the
@@ -488,16 +513,20 @@ class MoTIF(nn.Module):
             # SINF input: [feat | rel] (Ours.py:731-733)
             si = jnp.concatenate([q_feat, jnp.tile(rel, (n * B, 1, 1, 1))], -1)
 
-            sti_out = flow_imnet(sti.reshape(n * B * N, HH * WW, -1))
-            si_out = imnet(si.reshape(n * B, HH * WW, -1))
+            sti_out = _chunked_tokens(
+                flow_imnet, sti.reshape(n * B * N, HH * WW, -1),
+                self.decode_chunks)
+            si_out = _chunked_tokens(
+                imnet, si.reshape(n * B, HH * WW, -1), self.decode_chunks)
             pred = [si_out.reshape(n * B, HH, WW, 64),
                     q_feat,
                     q_residual,
                     sti_out.reshape(n * B * N, HH, WW, 3 * G)]
             if self.res_liff:
                 ri = jnp.concatenate([q_residual, jnp.tile(rel, (B * N, 1, 1, 1))], -1)
-                pred.append(res_imnet(ri.reshape(B * N, HH * WW, -1))
-                            .reshape(B * N, HH, WW, 64))
+                pred.append(_chunked_tokens(
+                    res_imnet, ri.reshape(B * N, HH * WW, -1),
+                    self.decode_chunks).reshape(B * N, HH, WW, 64))
                 pred = [pred[0], pred[1], pred[4], pred[3], pred[2]]
             preds.append(pred)
             areas.append(jnp.abs(rel[..., 0] * rel[..., 1]) + 1e-9)
@@ -627,7 +656,9 @@ class MoTIF(nn.Module):
                  + bs)
             synth = nn.remat(Siren)([64, 64, 64, 256], 3, 3,
                                     skip_first_linear=True, name="synth_net")
-            out = synth(h.reshape(B * N, HH * WW, -1)).reshape(B * N, HH, WW, 3)
+            out = _chunked_tokens(
+                synth, h.reshape(B * N, HH * WW, -1),
+                self.decode_chunks).reshape(B * N, HH, WW, 3)
             frames = jnp.clip(cf(out).reshape(B, N, HH, WW, 3),
                               0.0, 1.0).transpose(1, 0, 2, 3, 4)
             flow_norm = flow_hr / 20.0 / (HH / H)
@@ -663,7 +694,9 @@ class MoTIF(nn.Module):
         if self.siren:
             synth = nn.remat(Siren)([64, 64, 64, 256], 3, 3, fused=self.fused_siren,
                                     name="synth_net")
-            out = synth(synth_in.reshape(B * N, HH * WW, -1)).reshape(B * N, HH, WW, 3)
+            out = _chunked_tokens(
+                synth, synth_in.reshape(B * N, HH * WW, -1),
+                self.decode_chunks).reshape(B * N, HH, WW, 3)
         else:
             y = Conv2d(ch * 2, 3, 1, 1, name="synth_net_0")(synth_in)
             y = Conv2d(ch * 2, 3, 1, 1, name="synth_net_1")(y)
@@ -762,7 +795,9 @@ class MoTIF(nn.Module):
         q_feat = up(feat)
         q_residual = up(residual_bn)
         si = jnp.concatenate([q_feat, jnp.tile(rel, (2 * B, 1, 1, 1))], -1)
-        si_out = imnet(si.reshape(2 * B, HH * WW, -1)).reshape(2 * B, HH, WW, 64)
+        si_out = _chunked_tokens(
+            imnet, si.reshape(2 * B, HH * WW, -1),
+            self.decode_chunks).reshape(2 * B, HH, WW, 64)
 
         # splat (Ours_7.py:627-659): features [si_out | flow | raw feat]
         feat_hr = jnp.concatenate([
@@ -805,7 +840,9 @@ class MoTIF(nn.Module):
         synth_in = jnp.concatenate([output, extra, res_rep, tmap], -1)
         synth = Siren([64, 64, 64, 256], 3, 3, fused=self.fused_siren,
                       name="synth_net")
-        out = synth(synth_in.reshape(B * N, HH * WW, -1)).reshape(B * N, HH, WW, 3)
+        out = _chunked_tokens(
+            synth, synth_in.reshape(B * N, HH * WW, -1),
+            self.decode_chunks).reshape(B * N, HH, WW, 3)
 
         frames_out = jnp.clip(out.reshape(B, N, HH, WW, 3), 0.0, 1.0
                               ).transpose(1, 0, 2, 3, 4)

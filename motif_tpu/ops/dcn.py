@@ -19,6 +19,8 @@ layout from its conv_offset_mask, mirroring dcn_v2.py:127-140.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -28,6 +30,11 @@ import jax.numpy as jnp
 # model, the im2col einsum IS the reference GEMM), giving an honest
 # reference-workload count for bench.py's A100 estimate.
 _BACKEND_OVERRIDE: str | None = None
+
+# Window halo for the 'ywin' backend — |offset_y| beyond this triggers the
+# exact fallback (lax.cond, see _sample_ywin). Trained PCD offsets are a
+# few pixels; 8 keeps the window ~3x smaller than H at PCD-L1 sizes.
+_YWIN_MAX_DY = 8
 
 
 def set_backend(backend: str | None):
@@ -70,9 +77,10 @@ def dcn_v2(
     if backend == "gather":
         return _dcn_v2_gather(x, offset, mask, weight, bias, kernel_size,
                               stride, padding, dilation, deformable_groups)
+    sampler = backend if backend in ("pallas", "ywin") else "einsum"
     return _dcn_v2_onehot(x, offset, mask, weight, bias, kernel_size,
                           stride, padding, dilation, deformable_groups,
-                          sampler="pallas" if backend == "pallas" else "einsum")
+                          sampler=sampler)
 
 
 def _sample_positions(offset, B, Ho, Wo, G, K, stride, padding, dilation):
@@ -188,6 +196,66 @@ def _sample_via_pallas_fwd(x, py, px):
 _sample_via_pallas.defvjp(_sample_via_pallas_fwd, _sample_onehot_bwd)
 
 
+def ywin_violation(py: jax.Array, H: int, row_len: int, pad: int,
+                   dilation: int, K: int, max_dy: int) -> jax.Array:
+    """Traced bool: does any sample have an IN-IMAGE bilinear corner row
+    outside its output row's static y-window? (Out-of-image corners
+    contribute exactly zero — the CUDA kernel's bounds guard — so they
+    never count.) Guard for sample_pallas_ywin, mirroring
+    softsplat_pallas.splat_violation."""
+    from motif_tpu.ops.dcn_pallas import ywin_window
+
+    Q = py.shape[2]
+    Hw = ywin_window(H, K, dilation, max_dy)
+    rows = (jnp.arange(Q, dtype=jnp.int32) // row_len)[None, None]
+    y0 = jnp.clip(rows - pad - max_dy, 0, H - Hw).astype(jnp.float32)
+    c0 = jnp.floor(py)
+
+    def bad(c):
+        return (c >= 0.0) & (c <= H - 1.0) & ((c < y0) | (c > y0 + Hw - 1.0))
+
+    return jnp.any(bad(c0) | bad(c0 + 1.0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _sample_ywin(x, py, px, geom):
+    """Row-windowed Pallas sampling with the exact one-hot fallback when
+    any offset reaches beyond the window (same guard pattern as the Pallas
+    splat, softsplat_pallas.py:318-353). geom = (row_len, pad, dilation,
+    K, max_dy). Forward values are exact either way; backward is the
+    shared analytic einsum VJP."""
+    from motif_tpu.ops.dcn_pallas import sample_pallas_ywin
+
+    row_len, pad, dilation, K, max_dy = geom
+    H = x.shape[1]
+    # interpret mode off-TPU so the CPU test lane executes the real cond
+    # path; on TPU this compiles the Mosaic kernel.
+    interp = jax.default_backend() != "tpu"
+
+    def fast(args):
+        return sample_pallas_ywin(*args, row_len=row_len, pad=pad,
+                                  dilation=dilation, K=K, max_dy=max_dy,
+                                  interpret=interp)
+
+    def slow(args):
+        return _sample_onehot(*args)
+
+    return jax.lax.cond(
+        ywin_violation(py, H, row_len, pad, dilation, K, max_dy),
+        slow, fast, (x, py, px))
+
+
+def _sample_ywin_fwd(x, py, px, geom):
+    return _sample_ywin(x, py, px, geom), (x, py, px)
+
+
+def _sample_ywin_bwd(geom, res, g_val):
+    return _sample_onehot_bwd(res, g_val)
+
+
+_sample_ywin.defvjp(_sample_ywin_fwd, _sample_ywin_bwd)
+
+
 def _dcn_v2_onehot(x, offset, mask, weight, bias, K, stride, padding,
                    dilation, G, sampler="einsum"):
     B, H, W, Cin = x.shape
@@ -200,8 +268,13 @@ def _dcn_v2_onehot(x, offset, mask, weight, bias, K, stride, padding,
     py = py.transpose(0, 3, 1, 2, 4).reshape(B, G, Q)
     px = px.transpose(0, 3, 1, 2, 4).reshape(B, G, Q)
 
-    sample = _sample_via_pallas if sampler == "pallas" else _sample_onehot
-    val = sample(x, py, px)                            # (B, Q, G, cg)
+    if sampler == "ywin":
+        # rows of py/px are already (Ho, Wo, KK) row-major → row_len = Wo*KK
+        val = _sample_ywin(x, py, px,
+                           (Wo * K * K, padding, dilation, K, _YWIN_MAX_DY))
+    else:
+        sample = _sample_via_pallas if sampler == "pallas" else _sample_onehot
+        val = sample(x, py, px)                        # (B, Q, G, cg)
     val = val.reshape(B, Ho, Wo, K * K, G, cg).transpose(0, 1, 2, 4, 3, 5)
     val = val * mask.reshape(B, Ho, Wo, G, K * K, 1).astype(val.dtype)
     w = weight.reshape(K * K, G, cg, weight.shape[-1]).astype(val.dtype)

@@ -109,3 +109,119 @@ def sample_pallas(x: jax.Array, py: jax.Array, px: jax.Array,
     )(pxr, pyr, xp)
 
     return out.reshape(B, Qp, G, cg)[:, :Q]                 # (B, Q, G, cg)
+
+
+# ---------------------------------------------------------------------------
+# Row-windowed sampler ("ywin"): the serving-path encoder lever.
+#
+# The kernel above still contracts every query tile against the FULL
+# (W, H*cg) feature slab — one-hot exactness paid in H/Hw extra MXU work.
+# DCN offsets on trained models are small (a few pixels), so the bilinear
+# corners of all queries of one OUTPUT ROW live in a narrow y-window of the
+# input. This kernel runs one output row per program, dynamically slices
+# that window out of the VMEM-resident X (sublane slice — X is laid out
+# (H, W*cg) per group so H is the sublane axis), and contracts vy-first:
+#
+#     Xw            = X[y0 : y0+Hw]                 (Hw, W*cg)   VMEM slice
+#     t[q, w*cg+c]  = vy_win @ Xw                   (MXU, K-dim Hw << H)
+#     vx_exp        = hat(px - lane//cg)            (VPU)
+#     out[q, g*cg+c]= (t * vx_exp) @ M              (MXU, block-select)
+#
+# FLOPs drop by ~H/Hw on the dominant matmul (3.2x at PCD-L1 sizes). The
+# window bound is enforced OUTSIDE by dcn.py's violation check + lax.cond
+# exact fallback (the splat kernel's guard pattern, softsplat_pallas.py):
+# results are exact for in-window offsets and the fallback keeps the op
+# exact for arbitrary ones. Matches the CUDA sampling semantics
+# (dcn_v2_im2col_cuda.cu:25-60) when no violation occurs.
+# ---------------------------------------------------------------------------
+
+
+def _ywin_kernel(py_ref, px_ref, x_ref, out_ref, *, mxu_dtype, Hw, pad, D):
+    G = x_ref.shape[1]
+    H = x_ref.shape[2]
+    WC = x_ref.shape[3]
+    TQ_r = out_ref.shape[2]
+    cg = out_ref.shape[-1] // G
+
+    r = pl.program_id(1)
+    y0 = jnp.clip(r - pad - D, 0, H - Hw)
+
+    wj = jax.lax.broadcasted_iota(jnp.int32, (TQ_r, WC), 1)
+    wi = (wj // cg).astype(jnp.float32)                     # lane -> source col
+    ci = jax.lax.broadcasted_iota(jnp.int32, (WC, cg), 0)
+    co = jax.lax.broadcasted_iota(jnp.int32, (WC, cg), 1)
+    m = (ci % cg == co).astype(mxu_dtype)                   # (W*cg, cg)
+    hrow = jax.lax.broadcasted_iota(jnp.int32, (TQ_r, Hw), 1).astype(
+        jnp.float32) + y0.astype(jnp.float32)
+
+    for g in range(G):
+        py = py_ref[0, g, 0]                                # (TQ_r, 1)
+        px = px_ref[0, g, 0]
+        vy = jnp.maximum(0.0, 1.0 - jnp.abs(py - hrow))     # (TQ_r, Hw)
+        xw = x_ref[0, g, pl.ds(y0, Hw), :]                  # (Hw, W*cg)
+        t = jnp.dot(vy.astype(mxu_dtype), xw.astype(mxu_dtype),
+                    preferred_element_type=jnp.float32)     # (TQ_r, W*cg)
+        vx = jnp.maximum(0.0, 1.0 - jnp.abs(px - wi))       # (TQ_r, W*cg)
+        prod = (t * vx).astype(mxu_dtype)
+        out_ref[0, 0, :, g * cg:(g + 1) * cg] = jnp.dot(
+            prod, m, preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def ywin_window(H: int, K: int, dilation: int, max_dy: int) -> int:
+    """Static window height covering all bilinear corner rows of one output
+    row when every |offset_y| <= max_dy (window start clamps to the image,
+    so boundary rows reuse the interior window)."""
+    return min(H, (K - 1) * dilation + 2 * max_dy + 2)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "row_len", "pad", "dilation", "K", "max_dy", "interpret"))
+def sample_pallas_ywin(x: jax.Array, py: jax.Array, px: jax.Array, *,
+                       row_len: int, pad: int, dilation: int, K: int,
+                       max_dy: int = 8, interpret: bool = False) -> jax.Array:
+    """Row-windowed bilinear one-hot sampling. x (B,H,W,G*cg); py/px
+    (B,G,Q) row-major with Q = Ho*row_len (row_len = Wo*K*K) → (B,Q,G,cg).
+    ONLY exact when every sample's in-image corner rows fall inside the
+    per-row window — callers must guard with `ywin_violation`."""
+    B, H, W, Cin = x.shape
+    G, Q = py.shape[1], py.shape[2]
+    cg = Cin // G
+    Ho = Q // row_len
+    assert Ho * row_len == Q, (Q, row_len)
+    Hw = ywin_window(H, K, dilation, max_dy)
+
+    TQ_r = -(-row_len // 128) * 128
+    pyr = py.reshape(B, G, Ho, row_len)
+    pxr = px.reshape(B, G, Ho, row_len)
+    if TQ_r != row_len:
+        padq = ((0, 0), (0, 0), (0, 0), (0, TQ_r - row_len))
+        pyr = jnp.pad(pyr, padq, constant_values=-10.0)
+        pxr = jnp.pad(pxr, padq, constant_values=-10.0)
+    pyr = pyr.reshape(B, G, Ho, TQ_r, 1).astype(jnp.float32)
+    pxr = pxr.reshape(B, G, Ho, TQ_r, 1).astype(jnp.float32)
+
+    # X → (B, G, H, W*cg): window slice rides the sublane axis.
+    xp = x.reshape(B, H, W, G, cg).transpose(0, 3, 1, 2, 4).reshape(
+        B, G, H, W * cg)
+
+    mxu_dtype = jnp.bfloat16 if x.dtype != jnp.float64 else x.dtype
+
+    out = pl.pallas_call(
+        functools.partial(_ywin_kernel, mxu_dtype=mxu_dtype, Hw=Hw,
+                          pad=pad, D=max_dy),
+        grid=(B, Ho),
+        in_specs=[
+            pl.BlockSpec((1, G, 1, TQ_r, 1), lambda b, r: (b, 0, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, 1, TQ_r, 1), lambda b, r: (b, 0, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, H, W * cg), lambda b, r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TQ_r, G * cg), lambda b, r: (b, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, TQ_r, G * cg), x.dtype),
+        interpret=interpret,
+    )(pyr, pxr, xp)
+
+    return out[:, :, :row_len].reshape(B, Q, G, cg)

@@ -140,3 +140,79 @@ def test_pallas_sampler_matches_onehot(rng):
         got = sample_pallas(x, py, px, interpret=True, exact=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_ywin_backend_matches_onehot_small_offsets(rng):
+    """backend='ywin' (row-windowed Pallas sampler, interpret on CPU) must
+    match 'onehot' when offsets stay inside the +-max_dy window — the
+    serving-path regime. bf16 MXU passes inside the kernel mirror XLA's
+    DEFAULT f32 matmul semantics, so compare against a bf16-quantized
+    tolerance."""
+    import jax
+
+    B, H, W, Cin, Cout, K, G = 2, 16, 12, 8, 6, 3, 2
+    x = rng.standard_normal((B, H, W, Cin)).astype(np.float32)
+    offset = (rng.standard_normal((B, H, W, G * K * K * 2)) * 1.7).astype(np.float32)
+    mask = rng.random((B, H, W, G * K * K), dtype=np.float32)
+    weight = (rng.standard_normal((K, K, Cin, Cout)) * 0.2).astype(np.float32)
+    bias = rng.standard_normal((Cout,)).astype(np.float32)
+    args = tuple(map(jnp.asarray, (x, offset, mask, weight, bias)))
+
+    ref = dcn_v2(*args, kernel_size=K, padding=1, deformable_groups=G,
+                 backend="onehot")
+    got = dcn_v2(*args, kernel_size=K, padding=1, deformable_groups=G,
+                 backend="ywin")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+    # gradients ride the shared analytic VJP — exact match vs onehot
+    import jax.numpy as jnp2
+    cot = jnp.asarray(rng.standard_normal(ref.shape).astype(np.float32))
+
+    def loss(backend):
+        def f(x, o, m, w, b):
+            return jnp2.sum(dcn_v2(x, o, m, w, b, kernel_size=K, padding=1,
+                                   deformable_groups=G, backend=backend) * cot)
+        return f
+
+    g1 = jax.grad(loss("onehot"), argnums=(0, 1))(*args)
+    g2 = jax.grad(loss("ywin"), argnums=(0, 1))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_ywin_violation_falls_back_exact(rng):
+    """Offsets beyond max_dy must trip ywin_violation and route through the
+    exact one-hot fallback — outputs then match 'onehot' bit-for-bit."""
+    from motif_tpu.ops import dcn as dcn_mod
+    from motif_tpu.ops.dcn import ywin_violation
+
+    B, H, W, Cin, Cout, K, G = 1, 48, 12, 4, 3, 3, 1
+    x = rng.standard_normal((B, H, W, Cin)).astype(np.float32)
+    offset = np.zeros((B, H, W, G * K * K * 2), np.float32)
+    offset[0, 40, 5, 0] = -35.0   # y-offset far beyond the +-8 window
+    mask = rng.random((B, H, W, G * K * K), dtype=np.float32)
+    weight = rng.standard_normal((K, K, Cin, Cout)).astype(np.float32)
+    bias = np.zeros((Cout,), np.float32)
+    args = tuple(map(jnp.asarray, (x, offset, mask, weight, bias)))
+
+    ref = dcn_v2(*args, kernel_size=K, padding=1, deformable_groups=G,
+                 backend="onehot")
+    got = dcn_v2(*args, kernel_size=K, padding=1, deformable_groups=G,
+                 backend="ywin")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # sanity on the guard itself: zero offsets never violate; the crafted
+    # one does. (Out-of-image corners are exempt — CUDA zero contribution.)
+    import jax.numpy as jnp2
+    from motif_tpu.ops.dcn import _sample_positions
+    py, _ = _sample_positions(jnp.asarray(offset), B, H, W, G, K, 1, 1, 1)
+    py = py.transpose(0, 3, 1, 2, 4).reshape(B, G, -1)
+    assert bool(ywin_violation(py, H, W * K * K, 1, 1, K,
+                               dcn_mod._YWIN_MAX_DY))
+    py0, _ = _sample_positions(jnp.zeros_like(jnp.asarray(offset)),
+                               B, H, W, G, K, 1, 1, 1)
+    py0 = py0.transpose(0, 3, 1, 2, 4).reshape(B, G, -1)
+    assert not bool(ywin_violation(py0, H, W * K * K, 1, 1, K,
+                                   dcn_mod._YWIN_MAX_DY))

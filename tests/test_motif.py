@@ -184,3 +184,23 @@ def test_motif_44_precomputed_flows(rng):
                                     flows=(lr_flow, flow_gt))
     assert frames.shape == (N, B, HH, WW, 3)
     assert np.all(np.isfinite(np.asarray(frames)))
+
+
+@pytest.mark.slow
+def test_decode_chunks_exact(tiny_motif):
+    """decode_chunks (the reference's query-thirds LIIF memory bound,
+    Sakuya_arch.py:486-599) splits only the token axis of the pointwise
+    SIREN decodes — outputs must be bit-exact vs the single-program path,
+    in both the reference-order and fused_decode configurations."""
+    model, params, x, tt, out_hw = tiny_motif
+    want, wf, _ = model.apply({"params": params}, x, tt, out_hw, iters=2)
+    for fused in (False, True):
+        m3 = MoTIF(setting=5, decode_chunks=3, fused_decode=fused)
+        got, gf, _ = m3.apply({"params": params}, x, tt, out_hw, iters=2)
+        assert got.shape == want.shape
+        if not fused:  # identical float-op order => bit-exact
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+            np.testing.assert_array_equal(np.asarray(gf), np.asarray(wf))
+        else:          # fused reorders math; just bound the drift
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-4)
