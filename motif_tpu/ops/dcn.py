@@ -202,11 +202,14 @@ def ywin_violation(py: jax.Array, H: int, row_len: int, pad: int,
     outside its output row's static y-window? (Out-of-image corners
     contribute exactly zero — the CUDA kernel's bounds guard — so they
     never count.) Guard for sample_pallas_ywin, mirroring
-    softsplat_pallas.splat_violation."""
-    from motif_tpu.ops.dcn_pallas import ywin_window
+    softsplat_pallas.splat_violation.
 
+    Checks the LOGICAL window ((K-1)*dil + 2*max_dy + 2 rows); the kernel's
+    padded window (ywin_window: +1 sublane of slack, start aligned down to
+    a sublane boundary) is a strict superset of it for every row, so
+    passing this check guarantees in-window sampling in the kernel."""
     Q = py.shape[2]
-    Hw = ywin_window(H, K, dilation, max_dy)
+    Hw = min(H, (K - 1) * dilation + 2 * max_dy + 2)
     rows = (jnp.arange(Q, dtype=jnp.int32) // row_len)[None, None]
     y0 = jnp.clip(rows - pad - max_dy, 0, H - Hw).astype(jnp.float32)
     c0 = jnp.floor(py)

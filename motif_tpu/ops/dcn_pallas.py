@@ -136,42 +136,72 @@ def sample_pallas(x: jax.Array, py: jax.Array, px: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _ywin_kernel(py_ref, px_ref, x_ref, out_ref, *, mxu_dtype, Hw, pad, D):
+_YWIN_QC = 512  # in-kernel query chunk: bounds the (W*cg, QC) fp32 temporaries
+
+# All tensors in this kernel are TRANSPOSED relative to the v1 kernel above:
+# queries ride the LANE axis (a (TQ, 1) layout pads lanes 1→128 and blew the
+# 16 MB scoped-VMEM budget through the double-buffered pipeline), and every
+# contraction is the dim0×dim0 (lhs-transposed) form the MXU executes
+# natively, so no in-kernel relayouts are needed:
+#     vyT[h, q]  = hat(py_row - hcol)                 (VPU broadcast)
+#     tT[j, q]   = sum_h xw[h, j] vyT[h, q]           (MXU)
+#     vxT[j, q]  = hat(px_row - wcol)                 (VPU)
+#     outT[c, q] = sum_j m[j, c] (tT * vxT)[j, q]     (MXU block-select)
+
+
+def _ywin_kernel(q_ref, x_ref, out_ref, *, mxu_dtype, Hw, pad, D):
     G = x_ref.shape[1]
     H = x_ref.shape[2]
     WC = x_ref.shape[3]
-    TQ_r = out_ref.shape[2]
-    cg = out_ref.shape[-1] // G
+    GC = out_ref.shape[2]
+    TQ_r = out_ref.shape[3]
+    cg = GC // G
+    QC = min(_YWIN_QC, TQ_r)
+    dn = (((0,), (0,)), ((), ()))                           # lhsT @ rhs
 
     r = pl.program_id(1)
-    y0 = jnp.clip(r - pad - D, 0, H - Hw)
+    # Mosaic needs the dynamic sublane-slice start provably 8-aligned:
+    # round the window start DOWN to a sublane boundary (Hw already carries
+    # the +8 slack, see ywin_window — the aligned window is a superset of
+    # the logical one the violation guard checks).
+    y0 = (jnp.clip(r - pad - D, 0, H - Hw) // 8) * 8
 
-    wj = jax.lax.broadcasted_iota(jnp.int32, (TQ_r, WC), 1)
-    wi = (wj // cg).astype(jnp.float32)                     # lane -> source col
+    wcol = (jax.lax.broadcasted_iota(jnp.int32, (WC, 1), 0)
+            // cg).astype(jnp.float32)                      # sublane -> col
+    hcol = jax.lax.broadcasted_iota(jnp.int32, (Hw, 1), 0).astype(
+        jnp.float32) + y0.astype(jnp.float32)
     ci = jax.lax.broadcasted_iota(jnp.int32, (WC, cg), 0)
     co = jax.lax.broadcasted_iota(jnp.int32, (WC, cg), 1)
     m = (ci % cg == co).astype(mxu_dtype)                   # (W*cg, cg)
-    hrow = jax.lax.broadcasted_iota(jnp.int32, (TQ_r, Hw), 1).astype(
-        jnp.float32) + y0.astype(jnp.float32)
 
     for g in range(G):
-        py = py_ref[0, g, 0]                                # (TQ_r, 1)
-        px = px_ref[0, g, 0]
-        vy = jnp.maximum(0.0, 1.0 - jnp.abs(py - hrow))     # (TQ_r, Hw)
-        xw = x_ref[0, g, pl.ds(y0, Hw), :]                  # (Hw, W*cg)
-        t = jnp.dot(vy.astype(mxu_dtype), xw.astype(mxu_dtype),
-                    preferred_element_type=jnp.float32)     # (TQ_r, W*cg)
-        vx = jnp.maximum(0.0, 1.0 - jnp.abs(px - wi))       # (TQ_r, W*cg)
-        prod = (t * vx).astype(mxu_dtype)
-        out_ref[0, 0, :, g * cg:(g + 1) * cg] = jnp.dot(
-            prod, m, preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        xw = (x_ref[0, g] if Hw == H else
+              x_ref[0, g, pl.ds(y0, Hw), :]).astype(mxu_dtype)  # (Hw, W*cg)
+        for q0 in range(0, TQ_r, QC):
+            qc = min(QC, TQ_r - q0)
+            py = q_ref[0, g, 0, 0:1, q0:q0 + qc]            # (1, qc)
+            px = q_ref[0, g, 0, 1:2, q0:q0 + qc]
+            vyT = jnp.maximum(0.0, 1.0 - jnp.abs(py - hcol))  # (Hw, qc)
+            tT = jax.lax.dot_general(
+                xw, vyT.astype(mxu_dtype), dn,
+                preferred_element_type=jnp.float32)         # (W*cg, qc)
+            vxT = jnp.maximum(0.0, 1.0 - jnp.abs(px - wcol))  # (W*cg, qc)
+            prodT = (tT * vxT).astype(mxu_dtype)
+            out_ref[0, 0, g * cg:(g + 1) * cg, q0:q0 + qc] = \
+                jax.lax.dot_general(
+                    m, prodT, dn,
+                    preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def ywin_window(H: int, K: int, dilation: int, max_dy: int) -> int:
     """Static window height covering all bilinear corner rows of one output
     row when every |offset_y| <= max_dy (window start clamps to the image,
-    so boundary rows reuse the interior window)."""
-    return min(H, (K - 1) * dilation + 2 * max_dy + 2)
+    so boundary rows reuse the interior window). Rounded up to a sublane
+    multiple plus one sublane of slack so the kernel can align its dynamic
+    slice start down to an 8-row boundary and still cover the logical
+    window (Mosaic requires provably 8-aligned sublane starts)."""
+    logical = (K - 1) * dilation + 2 * max_dy + 2
+    return min(H, (-(-logical // 8) + 1) * 8)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -191,14 +221,15 @@ def sample_pallas_ywin(x: jax.Array, py: jax.Array, px: jax.Array, *,
     Hw = ywin_window(H, K, dilation, max_dy)
 
     TQ_r = -(-row_len // 128) * 128
-    pyr = py.reshape(B, G, Ho, row_len)
-    pxr = px.reshape(B, G, Ho, row_len)
+    # queries packed (py, px) along one sublane axis, lane-major over TQ —
+    # a (TQ, 1) layout would pad lanes 1→128 (4 MB/pipeline buffer, the
+    # scoped-VMEM blowup this kernel's transposed form exists to avoid).
+    q = jnp.stack([py.reshape(B, G, Ho, row_len),
+                   px.reshape(B, G, Ho, row_len)], axis=-2)
     if TQ_r != row_len:
-        padq = ((0, 0), (0, 0), (0, 0), (0, TQ_r - row_len))
-        pyr = jnp.pad(pyr, padq, constant_values=-10.0)
-        pxr = jnp.pad(pxr, padq, constant_values=-10.0)
-    pyr = pyr.reshape(B, G, Ho, TQ_r, 1).astype(jnp.float32)
-    pxr = pxr.reshape(B, G, Ho, TQ_r, 1).astype(jnp.float32)
+        q = jnp.pad(q, ((0, 0),) * 4 + ((0, TQ_r - row_len),),
+                    constant_values=-10.0)
+    q = q.reshape(B, G, Ho, 2, TQ_r).astype(jnp.float32)
 
     # X → (B, G, H, W*cg): window slice rides the sublane axis.
     xp = x.reshape(B, H, W, G, cg).transpose(0, 3, 1, 2, 4).reshape(
@@ -211,17 +242,16 @@ def sample_pallas_ywin(x: jax.Array, py: jax.Array, px: jax.Array, *,
                           pad=pad, D=max_dy),
         grid=(B, Ho),
         in_specs=[
-            pl.BlockSpec((1, G, 1, TQ_r, 1), lambda b, r: (b, 0, r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, 1, TQ_r, 1), lambda b, r: (b, 0, r, 0, 0),
+            pl.BlockSpec((1, G, 1, 2, TQ_r), lambda b, r: (b, 0, r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, H, W * cg), lambda b, r: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, TQ_r, G * cg), lambda b, r: (b, r, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, G * cg, TQ_r), lambda b, r: (b, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Ho, TQ_r, G * cg), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, G * cg, TQ_r), x.dtype),
         interpret=interpret,
-    )(pyr, pxr, xp)
+    )(q, xp)
 
-    return out[:, :, :row_len].reshape(B, Q, G, cg)
+    # (B, Ho, G*cg, TQ_r) → crop the row padding → (B, Q, G, cg)
+    return out[..., :row_len].transpose(0, 1, 3, 2).reshape(B, Q, G, cg)

@@ -93,4 +93,8 @@ def trainer_config_from_opt(opt: NoneDict):
         lr_steps=tuple(t.get("lr_steps") or ()),
         lr_gamma=float(t.get("lr_gamma") or 0.5),
         warmup_iter=int(t.get("warmup_iter") or -1),
+        # reference hardcodes the 150k teacher-forcing decay
+        # (VideoSR_base_model.py:127-158); exposed so short runs can force
+        # the decayed (student-flow) regime — see configs/train_overfit_ext.yml
+        teacher_forcing_steps=int(t.get("teacher_forcing_steps") or 150000),
     )
