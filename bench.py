@@ -98,10 +98,17 @@ def main():
 
     from motif_tpu.models.motif import MoTIF
 
-    # Headline: bf16 trunk + fp32 flow/splat (the accuracy-gated serving
-    # configuration — tests/test_bf16.py bounds its deviation from fp32;
-    # BASELINE.md records the Vid4 delta). fp32 is reported alongside.
+    # Headline: bf16 trunk + fp32 flow/splat + f16 scatter + RAFT@HR/2 —
+    # every knob PSNR-gated on the overfit-trained model (BASELINE.md r3
+    # gates: full serving stack −0.0004 dB; raft_resolution 0.5 +0.046 dB
+    # on the train-clip eval; tests/test_bf16.py bounds the bf16 drift).
+    # The r3/r4-comparable reference-protocol row (RAFT at full HR) and
+    # the fp32 reference-order row are reported alongside.
     fps16, flops16, sec16 = _measure(
+        MoTIF(setting=5, compute_dtype="bfloat16", fused_decode=True,
+              splat_method="base", splat_dtype="float16",
+              raft_resolution=0.5))
+    fps_ref_proto, _, _ = _measure(
         MoTIF(setting=5, compute_dtype="bfloat16", fused_decode=True,
               splat_method="base"))
     fps32, flops32, sec32 = _measure(MoTIF(setting=5))
@@ -111,9 +118,10 @@ def main():
     ref_est_fps = 3.0 / (flops / (A100_FP32_PEAK * A100_ASSUMED_UTIL))
 
     out = {
-        "metric": "HR output frames/sec/chip (Vimeo 4x, LQ 64x112 -> HR 256x448, 3 times/fwd, bf16 trunk + fp32 flow/splat, fused LIIF+synth decode, base splat)",
+        "metric": "HR output frames/sec/chip (Vimeo 4x, LQ 64x112 -> HR 256x448, 3 times/fwd, bf16 trunk + fp32 flow/splat, fused LIIF+synth decode, base splat f16 scatter, RAFT@HR/2; all knobs PSNR-gated, BASELINE.md r3/r5)",
         "value": round(fps16, 3),
         "unit": "frames/s",
+        "ref_protocol_fps": round(fps_ref_proto, 3),
         "fp32_fps": round(fps32, 3),
         "ref_workload_flops_per_fwd": flops,
         "xla_visible_flops_per_fwd": flops32 or flops16,

@@ -60,7 +60,7 @@ def serving_fwd(n_times=3):
 def main():
     from motif_tpu.ops import dcn as dcn_mod
 
-    for backend in (None, "pallas", "onehot_full"):
+    for backend in (None, "ywin", "pallas"):
         dcn_mod.set_backend(backend)
         fn, params, x, tt = serving_fwd()
         ms = timeit(fn, params, x, tt)
@@ -79,7 +79,7 @@ def main():
     wk = jnp.asarray(rng.normal(size=(3, 3, nf, nf)),
                      np.float32).astype(dt) * 0.05
     bk = jnp.zeros((nf,), dt)
-    for backend in ("onehot", "onehot_full", "pallas"):
+    for backend in ("onehot", "ywin", "pallas"):
         ms = timeit(lambda f, o, m, w, b, be=backend: dcn_mod.dcn_v2(
             f, o, m, w, b, deformable_groups=8, backend=be),
             feat, off, mask, wk, bk)
